@@ -1,0 +1,336 @@
+"""MakeAScene autoregressive transformer, TPU-native.
+
+Rebuilds the reference ruDALL-E-derived stack
+(``/root/reference/models/transformer.py``):
+
+  * token sequence [text | seg | image], lengths 128 + 16^2 + 32^2 = 1408,
+  * three token embeddings + text positional + factorized row/col positional
+    embeddings for seg and image grids (``transformer.py:300-313,329-347``),
+  * text pad-token remap ``0 -> text_vocab_size - text_length + pos``
+    (``transformer.py:350-353``),
+  * causal mask that is fully bidirectional over the text+seg prefix
+    (``transformer.py:366-370``),
+  * CogView PB-relax attention (q pre-scaled by 1/sqrt(d); alpha-scaled
+    max subtraction, ``transformer.py:44-71``) and sandwich LayerNorms
+    (``transformer.py:161-163,183-187,205-206``),
+  * ``to_logits`` = LayerNorm + Linear; training forward returns logits for
+    image positions only (``transformer.py:378``).
+
+TPU-first notes: attention runs in fp32 scores with a closed-form index mask
+(no [T, T] buffer materialized per layer); the PB-relax max-subtraction is
+algebraically a softmax shift, so the Pallas flash-attention path
+(``mas_tpu.ops.attention``) realizes it as the standard running row-max.
+Decode uses a preallocated KV cache updated via ``dynamic_update_slice``
+(see ``mas_tpu.models.sampler``), not concatenation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.norms import layer_norm
+from ..utils.config import TransformerConfig
+
+Cache = Dict[str, jax.Array]
+
+_INIT = nn.initializers.normal(stddev=0.02)
+
+
+def _gelu(x):
+    # OpenAI tanh-approx gelu (reference transformer.py:11-14)
+    return jax.nn.gelu(x, approximate=True)
+
+
+def prefix_causal_mask(q_pos: jax.Array, k_pos: jax.Array,
+                       prefix_length: int) -> jax.Array:
+    """mask[i, j] = (k_pos[j] <= q_pos[i]) or both in the text+seg prefix."""
+    causal = k_pos[None, :] <= q_pos[:, None]
+    bidir = jnp.logical_and(q_pos[:, None] < prefix_length,
+                            k_pos[None, :] < prefix_length)
+    return jnp.logical_or(causal, bidir)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        return layer_norm(x, scale, bias, self.eps)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head attention with PB-relax numerical stabilization.
+
+    ``__call__``: full-sequence training/prefill attention.
+    ``decode``: single-token cached step — writes the new k/v into the
+    preallocated cache (functional ``dynamic_update_slice``, no concat,
+    unlike the reference's ``torch.cat`` cache, ``transformer.py:82-85``).
+    """
+
+    cfg: TransformerConfig
+
+    def setup(self):
+        self.qkv = nn.Dense(3 * self.cfg.hidden_dim, kernel_init=_INIT,
+                            name="qkv")
+        self.out_proj = nn.Dense(self.cfg.hidden_dim, kernel_init=_INIT,
+                                 name="out_proj")
+
+    def _heads(self, t):
+        b = t.shape[0]
+        return t.reshape(b, -1, self.cfg.num_attn_heads, self.cfg.head_dim
+                         ).transpose(0, 2, 1, 3)
+
+    def _qkv(self, x):
+        q, k, v = jnp.split(self.qkv(x), 3, axis=-1)
+        return self._heads(q), self._heads(k), self._heads(v)
+
+    def __call__(self, x, mask, return_kv: bool = False):
+        cfg = self.cfg
+        b, tq, _ = x.shape
+        q, k, v = self._qkv(x)
+        ctx = pb_relax_attention(q, k, v, mask,
+                                 alpha=cfg.pb_relax_alpha,
+                                 pb_relax=cfg.cogview_pb_relax)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tq, cfg.hidden_dim)
+        out = self.out_proj(ctx)
+        if return_kv:
+            return out, (k, v)
+        return out
+
+    def decode(self, x, mask, k_cache, v_cache, index):
+        """x [B, 1, D]; caches [B, H, total, hd]; index = write position."""
+        cfg = self.cfg
+        b = x.shape[0]
+        q, k_new, v_new = self._qkv(x)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype), (0, 0, index, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype), (0, 0, index, 0))
+        ctx = pb_relax_attention(q, k_cache, v_cache, mask,
+                                 alpha=cfg.pb_relax_alpha,
+                                 pb_relax=cfg.cogview_pb_relax)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
+        return self.out_proj(ctx), (k_cache, v_cache)
+
+
+def pb_relax_attention(q, k, v, mask, alpha: float = 32.0,
+                       pb_relax: bool = True):
+    """scores = (q/sqrt(d)) @ k^T, masked to -10000, PB-relax max-shift,
+    softmax, @ v.  q,k,v: [B, H, T, hd]; fp32 score accumulation."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", (q * scale.astype(q.dtype)), k,
+                        preferred_element_type=jnp.float32)
+    if mask.ndim == 2:
+        mask = mask[None, None]
+    scores = jnp.where(mask, scores, jnp.float32(-10000.0))
+    if pb_relax:
+        # (s/alpha - max(s/alpha)) * alpha; max over heads' full score block
+        # (reference transformer.py:63-70). A per-(b,h) constant shift —
+        # exactly cancelled by softmax, kept for bit-parity of the scores.
+        s = scores / alpha
+        m = jax.lax.stop_gradient(jnp.max(s, axis=(-2, -1), keepdims=True))
+        scores = (s - m) * alpha
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+class MLP(nn.Module):
+    """4x gelu MLP (reference transformer.py:118-139)."""
+
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(4 * self.cfg.hidden_dim, kernel_init=_INIT,
+                     name="lin1")(x)
+        h = _gelu(h)
+        return nn.Dense(self.cfg.hidden_dim, kernel_init=_INIT,
+                        name="lin2")(h)
+
+
+class TransformerLayer(nn.Module):
+    """Pre-LN block with CogView sandwich LayerNorm
+    (reference transformer.py:142-210)."""
+
+    cfg: TransformerConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.ln_in = LayerNorm(name="ln_in")
+        self.ln_out = LayerNorm(name="ln_out")
+        if cfg.cogview_sandwich_layernorm:
+            self.first_ln_sandwich = LayerNorm(name="first_ln_sandwich")
+            self.second_ln_sandwich = LayerNorm(name="second_ln_sandwich")
+        self.attn = SelfAttention(cfg, name="attn")
+        self.mlp = MLP(cfg, name="mlp")
+
+    def _post_attn(self, x, a):
+        if self.cfg.cogview_sandwich_layernorm:
+            a = self.first_ln_sandwich(a)
+        x = x + a
+        m = self.mlp(self.ln_out(x))
+        if self.cfg.cogview_sandwich_layernorm:
+            m = self.second_ln_sandwich(m)
+        return x + m
+
+    def __call__(self, x, mask, return_kv: bool = False):
+        h = self.ln_in(x)
+        if return_kv:
+            a, kv = self.attn(h, mask, return_kv=True)
+            return self._post_attn(x, a), kv
+        return self._post_attn(x, self.attn(h, mask))
+
+    def decode(self, x, mask, k_cache, v_cache, index):
+        a, (k_cache, v_cache) = self.attn.decode(
+            self.ln_in(x), mask, k_cache, v_cache, index)
+        return self._post_attn(x, a), (k_cache, v_cache)
+
+
+class MakeAScene(nn.Module):
+    """Full model: embeddings + N layers + final LN + to_logits."""
+
+    cfg: TransformerConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.image_token_embedding = nn.Embed(
+            cfg.image_vocab_size, cfg.hidden_dim, embedding_init=_INIT,
+            name="image_token_embedding")
+        self.seg_token_embedding = nn.Embed(
+            cfg.seg_vocab_size, cfg.hidden_dim, embedding_init=_INIT,
+            name="seg_token_embedding")
+        self.text_token_embedding = nn.Embed(
+            cfg.text_vocab_size, cfg.hidden_dim, embedding_init=_INIT,
+            name="text_token_embedding")
+        self.text_pos_embeddings = nn.Embed(
+            cfg.text_length, cfg.hidden_dim, embedding_init=_INIT,
+            name="text_pos_embeddings")
+        self.seg_row_embeddings = nn.Embed(
+            cfg.seg_tokens_per_dim, cfg.hidden_dim, embedding_init=_INIT,
+            name="seg_row_embeddings")
+        self.seg_col_embeddings = nn.Embed(
+            cfg.seg_tokens_per_dim, cfg.hidden_dim, embedding_init=_INIT,
+            name="seg_col_embeddings")
+        self.image_row_embeddings = nn.Embed(
+            cfg.image_tokens_per_dim, cfg.hidden_dim, embedding_init=_INIT,
+            name="image_row_embeddings")
+        self.image_col_embeddings = nn.Embed(
+            cfg.image_tokens_per_dim, cfg.hidden_dim, embedding_init=_INIT,
+            name="image_col_embeddings")
+        self.layers = [TransformerLayer(cfg, name=f"layer_{i}")
+                       for i in range(cfg.num_layers)]
+        self.final_ln = LayerNorm(name="final_ln")
+        self.logits_ln = LayerNorm(name="logits_ln")
+        self.logits_dense = nn.Dense(cfg.image_vocab_size, kernel_init=_INIT,
+                                     name="logits_dense")
+
+    # --- embedding assembly -------------------------------------------------
+
+    def embed_text(self, text_tokens):
+        cfg = self.cfg
+        pos = jnp.arange(cfg.text_length)
+        # pad-remap: token 0 at position p becomes vocab_size - text_len + p
+        remap = pos + (cfg.text_vocab_size - cfg.text_length)
+        toks = jnp.where(text_tokens == 0, remap[None, :], text_tokens)
+        return self.text_token_embedding(toks) + self.text_pos_embeddings(pos)
+
+    def embed_seg(self, seg_tokens):
+        cfg = self.cfg
+        pos = jnp.arange(seg_tokens.shape[-1])
+        rows = pos // cfg.seg_tokens_per_dim
+        cols = pos % cfg.seg_tokens_per_dim
+        return (self.seg_token_embedding(seg_tokens)
+                + self.seg_row_embeddings(rows)
+                + self.seg_col_embeddings(cols))
+
+    def embed_image(self, img_tokens, past_length: int | jax.Array = 0):
+        cfg = self.cfg
+        pos = jnp.arange(img_tokens.shape[-1]) + past_length
+        rows = pos // cfg.image_tokens_per_dim
+        cols = pos % cfg.image_tokens_per_dim
+        return (self.image_token_embedding(img_tokens)
+                + self.image_row_embeddings(rows)
+                + self.image_col_embeddings(cols))
+
+    def embed_prefix(self, text_tokens, seg_tokens):
+        return jnp.concatenate(
+            [self.embed_text(text_tokens), self.embed_seg(seg_tokens)], axis=1)
+
+    # --- core stacks --------------------------------------------------------
+
+    def backbone(self, x, mask):
+        for layer in self.layers:
+            x = layer(x, mask)
+        return self.final_ln(x)
+
+    def to_logits(self, x):
+        return self.logits_dense(self.logits_ln(x))
+
+    def __call__(self, text_tokens, seg_tokens, img_tokens):
+        """Training forward -> logits [B, image_length, image_vocab_size]."""
+        cfg = self.cfg
+        emb = jnp.concatenate(
+            [self.embed_prefix(text_tokens, seg_tokens),
+             self.embed_image(img_tokens)], axis=1)
+        t = emb.shape[1]
+        pos = jnp.arange(t)
+        mask = prefix_causal_mask(pos, pos, cfg.prefix_length)
+        h = self.backbone(emb, mask)
+        logits = self.to_logits(h)
+        # predictions for image positions: shift by one (transformer.py:378)
+        return logits[:, -cfg.image_length - 1:-1, :]
+
+    # --- cached decode (used by sampler) ------------------------------------
+
+    def prefill(self, text_tokens, seg_tokens):
+        """Run the text+seg prefix, return (logits [B, vocab] for the first
+        image token, k_cache, v_cache) with caches [L, B, H, prefix, hd].
+
+        The prefix attends bidirectionally to itself (the prefix block of the
+        mask is all-ones, reference transformer.py:369), so the prefill mask
+        is trivially all-true.
+        """
+        cfg = self.cfg
+        emb = self.embed_prefix(text_tokens, seg_tokens)
+        mask = jnp.ones((cfg.prefix_length, cfg.prefix_length), bool)
+        ks, vs = [], []
+        x = emb
+        for layer in self.layers:
+            x, (k, v) = layer(x, mask, return_kv=True)
+            ks.append(k)
+            vs.append(v)
+        h = self.final_ln(x[:, -1:, :])
+        logits = self.to_logits(h)[:, 0]
+        return logits, jnp.stack(ks), jnp.stack(vs)
+
+    def decode_step(self, img_token, step, k_cache, v_cache):
+        """One cached decode step.
+
+        img_token [B, 1] (the token generated at image position ``step``);
+        caches [L, B, H, total, hd] already hold prefix + ``step`` image
+        tokens.  Writes this token's k/v at index prefix+step, attends, and
+        returns (logits [B, vocab] for position step+1, new caches).
+        """
+        cfg = self.cfg
+        index = cfg.prefix_length + step
+        x = self.embed_image(img_token, past_length=step)
+        total = k_cache.shape[3]
+        kpos = jnp.arange(total)
+        mask = (kpos <= index)[None, None, None, :]
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, (k, v) = layer.decode(x, mask, k_cache[i], v_cache[i], index)
+            new_k.append(k)
+            new_v.append(v)
+        h = self.final_ln(x)
+        logits = self.to_logits(h)[:, 0]
+        return logits, jnp.stack(new_k), jnp.stack(new_v)

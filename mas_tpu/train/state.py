@@ -1,0 +1,79 @@
+"""Train state containers (explicit, checkpointable pytrees).
+
+The reference checkpoints {model, discriminator, optim, disc_optim, step}
+plus the codebook phase counter (``/root/reference/train.py:69-76,108-116``);
+these structs carry exactly that state so orbax snapshots are lossless.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.codebook import CodebookState, codebook_init_state
+from ..utils.config import OptimizerConfig, VQModelConfig
+
+
+def make_adam(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    """Adam matching the reference schedule: lr is divided by the
+    accumulation factor (``train.py:61-66``) and updates apply every
+    ``accumulate_grad`` micro-steps (``optax.MultiSteps``)."""
+    tx = optax.adam(cfg.lr / max(cfg.accumulate_grad, 1),
+                    b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
+    if cfg.accumulate_grad > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_grad)
+    return tx
+
+
+@struct.dataclass
+class VQTrainState:
+    step: jax.Array                       # int32 micro-step counter
+    params: Any
+    batch_stats: Any
+    vq_state: CodebookState
+    opt_state: Any
+    # VQ-IMG only: discriminator tower + its optimizer
+    disc_params: Any = None
+    disc_opt_state: Any = None
+
+
+def create_vq_train_state(model, cfg: VQModelConfig, tx, rng,
+                          disc_model=None, disc_tx=None,
+                          disc_rng=None) -> VQTrainState:
+    sample = jnp.zeros((1, cfg.resolution, cfg.resolution, cfg.in_channels),
+                       jnp.float32)
+    # full forward so every submodule (encoder, quant convs, codebook,
+    # decoder) materializes its params
+    variables = model.init(rng, sample)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    disc_params = None
+    disc_opt_state = None
+    if disc_model is not None:
+        dvars = disc_model.init(
+            disc_rng if disc_rng is not None else rng,
+            jnp.zeros((1, cfg.resolution, cfg.resolution, 3), jnp.float32),
+            train=False)
+        disc_params = dvars
+        if disc_tx is not None:
+            disc_opt_state = disc_tx.init(disc_params)
+    return VQTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        vq_state=codebook_init_state(cfg.codebook),
+        opt_state=tx.init(params),
+        disc_params=disc_params,
+        disc_opt_state=disc_opt_state,
+    )
+
+
+@struct.dataclass
+class TransformerTrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any

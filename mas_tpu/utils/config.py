@@ -1,0 +1,319 @@
+"""Strict, typed configuration schema.
+
+The reference uses Hydra ``_target_`` reflection with modules that swallow
+unknown kwargs (``/root/reference/models/modules.py:217,338``), which silently
+mis-configures the VQ-SEG decoder (``conf/seg_config.yaml`` passes
+taming-style keys ``ch``/``ch_mult``/``out_ch`` that are ignored, so the seg
+decoder would emit 3 channels instead of 159).  This rebuild rejects unknown
+keys at construction time (`ConfigError`) and parameterizes every field the
+reference actually consumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Type, TypeVar
+
+T = TypeVar("T")
+
+
+class ConfigError(ValueError):
+    """Raised on unknown keys or invalid field values."""
+
+
+def _from_dict(cls: Type[T], data: Dict[str, Any]) -> T:
+    """Build a dataclass from a dict, rejecting unknown keys recursively."""
+    if not dataclasses.is_dataclass(cls):
+        raise ConfigError(f"{cls} is not a config dataclass")
+    names = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(names)
+    if unknown:
+        raise ConfigError(
+            f"unknown config keys for {cls.__name__}: {sorted(unknown)}; "
+            f"valid keys: {sorted(names)}"
+        )
+    kwargs: Dict[str, Any] = {}
+    for key, value in data.items():
+        f = names[key]
+        sub = f.type if isinstance(f.type, type) else None
+        if sub is not None and dataclasses.is_dataclass(sub) and isinstance(value, dict):
+            kwargs[key] = _from_dict(sub, value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+class _Base:
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]):
+        return _from_dict(cls, data)
+
+    @classmethod
+    def from_json(cls, text: str):
+        return cls.from_dict(json.loads(text))
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
+
+
+@dataclass(frozen=True)
+class CodebookConfig(_Base):
+    """Vector-quantizer codebook with a staged k-means bootstrap.
+
+    Phase schedule mirrors the reference counter machine
+    (``models/modules.py:465-499``): collect latents into a reservoir after
+    ``init_steps`` steps, pass latents through unquantized until
+    ``3 * init_steps``, then re-initialize the codebook by k-means over the
+    all-gathered cross-replica reservoir every ``init_steps // 2`` steps
+    until ``30 * init_steps``.
+    """
+
+    codebook_size: int = 1024          # K (VQ-SEG 1024, VQ-IMG 8192)
+    codebook_dim: int = 256            # D
+    beta: float = 0.25                 # commitment weight (vqvae.py:13)
+    init_steps: int = 2000
+    reservoir_size: int = 200_000
+    samples_per_image: int = 10        # latents sampled into reservoir/image
+    kmeans_iters: int = 10             # Lloyd iterations per re-init
+
+    def __post_init__(self):
+        if self.codebook_size <= 0 or self.codebook_dim <= 0:
+            raise ConfigError("codebook_size and codebook_dim must be positive")
+        if self.reservoir_size <= 0:
+            raise ConfigError("reservoir_size must be positive")
+
+    @property
+    def q_start_collect(self) -> int:
+        return self.init_steps
+
+    @property
+    def q_init(self) -> int:
+        return self.init_steps * 3
+
+    @property
+    def q_re_end(self) -> int:
+        return self.init_steps * 30
+
+    @property
+    def q_re_step(self) -> int:
+        return self.init_steps // 2
+
+
+@dataclass(frozen=True)
+class VQModelConfig(_Base):
+    """VQ-VAE / VQGAN autoencoder (reference ``models/vqvae.py:8-39``).
+
+    ``channels`` / ``attn_resolutions`` / ``resolution`` follow the active
+    reference Encoder/Decoder semantics (``models/modules.py:199-240,337-369``):
+    len(channels)-2 downsample stages => 16x spatial reduction with defaults.
+    """
+
+    in_channels: int = 3
+    out_channels: int = 3
+    channels: Tuple[int, ...] = (128, 128, 128, 256, 512, 512)
+    num_res_blocks: int = 2
+    attn_resolutions: Tuple[int, ...] = (32,)
+    resolution: int = 512
+    z_channels: int = 256
+    embed_dim: int = 256
+    dropout: float = 0.0
+    codebook: CodebookConfig = field(default_factory=CodebookConfig)
+    # compute dtype for conv stack ("bfloat16" or "float32"); params stay fp32
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        if isinstance(self.channels, list):
+            object.__setattr__(self, "channels", tuple(self.channels))
+        if isinstance(self.attn_resolutions, list):
+            object.__setattr__(self, "attn_resolutions", tuple(self.attn_resolutions))
+        if isinstance(self.codebook, dict):
+            object.__setattr__(self, "codebook", CodebookConfig.from_dict(self.codebook))
+        if len(self.channels) < 2:
+            raise ConfigError("channels needs at least 2 entries")
+        if self.resolution % self.spatial_reduction != 0:
+            raise ConfigError(
+                f"resolution {self.resolution} not divisible by reduction "
+                f"{self.spatial_reduction}"
+            )
+
+    @property
+    def num_down(self) -> int:
+        # reference Encoder downsamples when i < len(channels) - 2
+        return len(self.channels) - 2
+
+    @property
+    def spatial_reduction(self) -> int:
+        return 2 ** self.num_down
+
+    @property
+    def latent_resolution(self) -> int:
+        return self.resolution // self.spatial_reduction
+
+
+def vq_seg_config(**overrides) -> VQModelConfig:
+    """VQ-SEG: 159-ch one-hot seg maps at 256^2 -> 16^2 tokens, K=1024.
+
+    Fixes the reference config pitfall (seg decoder must emit 159 channels).
+    """
+    base = dict(
+        in_channels=159,
+        out_channels=159,
+        resolution=256,
+        attn_resolutions=(16,),
+        codebook=CodebookConfig(codebook_size=1024),
+    )
+    base.update(overrides)
+    return VQModelConfig(**base)
+
+
+def vq_img_config(**overrides) -> VQModelConfig:
+    """VQ-IMG: RGB at 512^2 -> 32^2 tokens, K=8192 (conf/img_config.yaml)."""
+    base = dict(
+        in_channels=3,
+        out_channels=3,
+        resolution=512,
+        attn_resolutions=(32,),
+        codebook=CodebookConfig(codebook_size=8192, init_steps=3000,
+                                reservoir_size=12500),
+    )
+    base.update(overrides)
+    return VQModelConfig(**base)
+
+
+@dataclass(frozen=True)
+class TransformerConfig(_Base):
+    """MakeAScene AR transformer (reference ``models/transformer.py:275-378``).
+
+    Sequence = [text | seg | image]; causal mask is full (bidirectional) over
+    the text+seg prefix. Text pad tokens (id 0) are remapped to
+    ``text_vocab_size - text_length + position``.
+    """
+
+    num_layers: int = 24
+    hidden_dim: int = 1024
+    num_attn_heads: int = 16
+    image_vocab_size: int = 8192
+    seg_vocab_size: int = 1024
+    text_vocab_size: int = 16512       # includes text_length pad-remap slots
+    image_tokens_per_dim: int = 32
+    seg_tokens_per_dim: int = 16
+    text_length: int = 128
+    attn_dropout: float = 0.0
+    out_dropout: float = 0.0
+    cogview_pb_relax: bool = True
+    cogview_sandwich_layernorm: bool = True
+    pb_relax_alpha: float = 32.0
+    compute_dtype: str = "float32"
+    # 'auto' picks pallas flash attention on TPU, jnp elsewhere
+    attention_impl: str = "auto"
+
+    def __post_init__(self):
+        if self.hidden_dim % self.num_attn_heads:
+            raise ConfigError("hidden_dim must divide num_attn_heads")
+        if self.text_vocab_size < self.text_length:
+            raise ConfigError("text_vocab_size must be >= text_length "
+                              "(pad-remap needs text_length trailing slots)")
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_attn_heads
+
+    @property
+    def image_length(self) -> int:
+        return self.image_tokens_per_dim ** 2
+
+    @property
+    def seg_length(self) -> int:
+        return self.seg_tokens_per_dim ** 2
+
+    @property
+    def total_length(self) -> int:
+        return self.text_length + self.seg_length + self.image_length
+
+    @property
+    def prefix_length(self) -> int:
+        return self.text_length + self.seg_length
+
+
+@dataclass(frozen=True)
+class SegLossConfig(_Base):
+    """Weighted-BCE seg loss (reference ``losses/loss_seg.py:6-22``)."""
+
+    image_channels: int = 159
+    codebook_weight: float = 1.0
+    face_weight: float = 20.0
+    face_channel_start: int = 153
+    face_channel_end: int = 158
+
+
+@dataclass(frozen=True)
+class VQGANLossConfig(_Base):
+    """VQ-IMG composite loss (reference ``losses/loss_img.py:32-141``)."""
+
+    disc_start: int = 250_001
+    codebook_weight: float = 1.0
+    pixelloss_weight: float = 1.0
+    disc_factor: float = 1.0
+    disc_weight: float = 0.8
+    perceptual_weight: float = 1.0
+    face_loss: bool = True
+    object_weight: float = 2.0   # bbox gradient upweight for object-aware LPIPS
+    max_faces: int = 6           # reference caps faces at 6 (face_loss.py:132)
+
+
+@dataclass(frozen=True)
+class OptimizerConfig(_Base):
+    lr: float = 4.5e-6
+    beta1: float = 0.5
+    beta2: float = 0.9
+    eps: float = 1e-8
+    accumulate_grad: int = 1     # optax.MultiSteps; reference divides lr by it
+
+
+@dataclass(frozen=True)
+class MeshConfig(_Base):
+    """Device mesh. axes: data (DP, gradient psum) and model (TP)."""
+
+    data: int = -1   # -1 = all remaining devices
+    model: int = 1
+
+    def shape(self, n_devices: int) -> Tuple[int, int]:
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else n_devices // model
+        if data * model != n_devices:
+            raise ConfigError(
+                f"mesh {data}x{model} does not cover {n_devices} devices")
+        return data, model
+
+
+@dataclass(frozen=True)
+class TrainConfig(_Base):
+    mode: str = "pretrain_segmentation"
+    total_steps: int = 100
+    batch_size: int = 2          # per-replica, as in the reference configs
+    log_period: int = 50
+    save_period: int = 50_000
+    checkpoint_dir: str = "checkpoints"
+    resume: bool = False
+    seed: int = 0
+    # transformer CFG dropout (train.py:147-148)
+    start_uncond: int = 0
+    uncond_p: float = 0.1
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    disc_optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+
+    def __post_init__(self):
+        valid = {"pretrain_segmentation", "pretrain_image", "train_transformer"}
+        if self.mode not in valid:
+            raise ConfigError(f"mode must be one of {sorted(valid)}")
+        for name in ("mesh", "optimizer", "disc_optimizer"):
+            v = getattr(self, name)
+            if isinstance(v, dict):
+                cls = {"mesh": MeshConfig}.get(name, OptimizerConfig)
+                object.__setattr__(self, name, cls.from_dict(v))

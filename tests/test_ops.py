@@ -1,0 +1,118 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mas_tpu.ops.kmeans import kmeans
+from mas_tpu.ops.norms import group_norm, group_norm_swish, layer_norm, swish
+from mas_tpu.ops.vq import vq_argmin, vq_argmin_jnp, vq_quantize
+
+
+class TestVQ:
+    def test_jnp_matches_bruteforce(self):
+        key = jax.random.PRNGKey(0)
+        z = jax.random.normal(key, (37, 16))
+        cb = jax.random.normal(jax.random.PRNGKey(1), (50, 16))
+        d = np.linalg.norm(np.array(z)[:, None] - np.array(cb)[None], axis=-1)
+        expected = d.argmin(axis=1)
+        got = vq_argmin_jnp(z, cb)
+        np.testing.assert_array_equal(np.array(got), expected)
+
+    def test_pallas_interpret_matches_jnp(self):
+        key = jax.random.PRNGKey(2)
+        z = jax.random.normal(key, (300, 64))   # non-multiple of tile => pad
+        cb = jax.random.normal(jax.random.PRNGKey(3), (128, 64))
+        ref = vq_argmin(z, cb, impl="jnp")
+        got = vq_argmin(z, cb, impl="pallas_interpret")
+        np.testing.assert_array_equal(np.array(got), np.array(ref))
+
+    def test_quantize_shapes(self):
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
+        cb = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+        z_q, idx = vq_quantize(z, cb, impl="jnp")
+        assert z_q.shape == (2, 4, 4, 8)
+        assert idx.shape == (2, 4, 4)
+        np.testing.assert_allclose(np.array(z_q[0, 0, 0]),
+                                   np.array(cb[idx[0, 0, 0]]), rtol=1e-6)
+
+
+class TestNorms:
+    def test_group_norm_matches_torch(self):
+        import torch
+        x = np.random.RandomState(0).randn(2, 8, 8, 64).astype(np.float32)
+        scale = np.random.RandomState(1).randn(64).astype(np.float32)
+        bias = np.random.RandomState(2).randn(64).astype(np.float32)
+        got = group_norm(jnp.asarray(x), jnp.asarray(scale),
+                         jnp.asarray(bias), num_groups=32, eps=1e-6)
+        ref = torch.nn.functional.group_norm(
+            torch.from_numpy(x).permute(0, 3, 1, 2), 32,
+            torch.from_numpy(scale), torch.from_numpy(bias), eps=1e-6
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.array(got), ref, atol=1e-5)
+
+    def test_layer_norm_matches_torch(self):
+        import torch
+        x = np.random.RandomState(0).randn(2, 5, 32).astype(np.float32)
+        s = np.random.RandomState(1).randn(32).astype(np.float32)
+        b = np.random.RandomState(2).randn(32).astype(np.float32)
+        got = layer_norm(jnp.asarray(x), jnp.asarray(s), jnp.asarray(b))
+        ref = torch.nn.functional.layer_norm(
+            torch.from_numpy(x), (32,), torch.from_numpy(s),
+            torch.from_numpy(b), eps=1e-5).numpy()
+        np.testing.assert_allclose(np.array(got), ref, atol=1e-5)
+
+    def test_swish_matches_torch(self):
+        import torch
+        x = np.random.RandomState(0).randn(128).astype(np.float32)
+        got = swish(jnp.asarray(x))
+        ref = (torch.from_numpy(x) * torch.sigmoid(torch.from_numpy(x))).numpy()
+        np.testing.assert_allclose(np.array(got), ref, atol=1e-6)
+
+    def test_gn_swish_pallas_interpret(self):
+        from mas_tpu.ops.pallas.gn_swish import _gn_swish_fwd_pallas
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64))
+        s = jax.random.normal(jax.random.PRNGKey(1), (64,))
+        b = jax.random.normal(jax.random.PRNGKey(2), (64,))
+        ref = swish(group_norm(x, s, b, 32, 1e-6))
+        got = _gn_swish_fwd_pallas(x, s, b, 32, 1e-6, interpret=True)
+        np.testing.assert_allclose(np.array(got), np.array(ref), atol=1e-5)
+
+    def test_gn_swish_grad(self):
+        from mas_tpu.ops.pallas.gn_swish import gn_swish_pallas
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 32))
+        s = jnp.ones((32,))
+        b = jnp.zeros((32,))
+
+        def f_ref(x_):
+            return jnp.sum(swish(group_norm(x_, s, b, 32, 1e-6)))
+
+        def f_pal(x_):
+            return jnp.sum(gn_swish_pallas(x_, s, b, 32, 1e-6))
+
+        g_ref = jax.grad(f_ref)(x)
+        g_pal = jax.grad(f_pal)(x)
+        np.testing.assert_allclose(np.array(g_pal), np.array(g_ref),
+                                   atol=1e-5)
+
+
+class TestKMeans:
+    def test_recovers_separated_clusters(self):
+        rs = np.random.RandomState(0)
+        centers = rs.randn(4, 8) * 10
+        pts = np.concatenate(
+            [c + 0.01 * rs.randn(100, 8) for c in centers], axis=0)
+        got = kmeans(jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0),
+                     n_clusters=4, iters=20, chunk=128)
+        got = np.array(got)
+        # each true center should be close to some centroid
+        for c in centers:
+            assert np.min(np.linalg.norm(got - c, axis=1)) < 0.5
+
+    def test_partial_validity(self):
+        rs = np.random.RandomState(1)
+        pts = np.zeros((128, 4), np.float32)
+        pts[:64] = rs.randn(64, 4) + 100.0   # only first 64 rows valid
+        got = kmeans(jnp.asarray(pts), jax.random.PRNGKey(0), n_clusters=8,
+                     iters=5, chunk=32, n_valid=jnp.asarray(64))
+        # centroids should live near the valid cluster, not at the zeros
+        assert np.all(np.linalg.norm(np.array(got), axis=1) > 50.0)

@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mas_tpu.models.vqvae import Decoder, Encoder, VQModel
+from mas_tpu.utils.config import CodebookConfig, VQModelConfig
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        in_channels=3, out_channels=3,
+        channels=(32, 32, 64, 64),       # 2 downsamples => 4x reduction
+        num_res_blocks=1,
+        attn_resolutions=(8,),
+        resolution=32,
+        z_channels=32,
+        embed_dim=32,
+        codebook=CodebookConfig(codebook_size=64, codebook_dim=32,
+                                init_steps=4, reservoir_size=256,
+                                kmeans_iters=2),
+    )
+    base.update(kw)
+    return VQModelConfig(**base)
+
+
+class TestEncoderDecoder:
+    def test_encoder_shape(self):
+        cfg = tiny_cfg()
+        enc = Encoder(cfg)
+        x = jnp.zeros((2, 32, 32, 3))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        z = enc.apply(params, x)
+        assert z.shape == (2, 8, 8, 32)    # 4x spatial reduction
+
+    def test_decoder_shape(self):
+        cfg = tiny_cfg()
+        dec = Decoder(cfg)
+        z = jnp.zeros((2, 8, 8, 32))
+        params = dec.init(jax.random.PRNGKey(0), z)
+        x = dec.apply(params, z)
+        assert x.shape == (2, 32, 32, 3)
+
+    def test_seg_channels(self):
+        # the reference pitfall: seg decoder must emit 159 channels
+        cfg = tiny_cfg(in_channels=159, out_channels=159)
+        dec = Decoder(cfg)
+        z = jnp.zeros((1, 8, 8, 32))
+        params = dec.init(jax.random.PRNGKey(0), z)
+        assert dec.apply(params, z).shape == (1, 32, 32, 159)
+
+
+class TestVQModel:
+    def test_forward_roundtrip(self):
+        cfg = tiny_cfg()
+        model = VQModel(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(1), x)
+        recon, q_loss = model.apply(variables, x)
+        assert recon.shape == x.shape
+        assert jnp.isfinite(q_loss)
+
+    def test_tokens_roundtrip(self):
+        cfg = tiny_cfg()
+        model = VQModel(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(1), x)
+        tokens = model.apply(variables, x, method=VQModel.encode_tokens)
+        assert tokens.shape == (2, 8, 8)
+        assert tokens.dtype == jnp.int32
+        img = model.apply(variables, tokens, method=VQModel.decode_code)
+        assert img.shape == (2, 32, 32, 3)
+
+    def test_downsample_asymmetric_pad_matches_torch(self):
+        """stride-2 conv with (0,1,0,1) pad == torch reference semantics."""
+        import torch
+        from mas_tpu.models.layers import Downsample
+        x = np.random.RandomState(0).randn(1, 8, 8, 4).astype(np.float32)
+        mod = Downsample()
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out = mod.apply(params, jnp.asarray(x))
+        kernel = np.array(params["params"]["conv"]["kernel"])  # HWIO
+        bias = np.array(params["params"]["conv"]["bias"])
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        xt = torch.nn.functional.pad(xt, (0, 1, 0, 1))
+        wt = torch.from_numpy(kernel).permute(3, 2, 0, 1)      # OIHW
+        ref = torch.nn.functional.conv2d(xt, wt, torch.from_numpy(bias),
+                                         stride=2)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        assert out.shape == ref.shape == (1, 4, 4, 4)
+        np.testing.assert_allclose(np.array(out), ref, atol=1e-5)
+
+    def test_upsample_nearest(self):
+        from mas_tpu.models.layers import Upsample
+        x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+        mod = Upsample()
+        params = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(params, x)
+        assert out.shape == (1, 4, 4, 1)
