@@ -63,34 +63,36 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
         text_all, seg_all = text_tokens, seg_tokens
     bb = text_all.shape[0]
 
-    logits0, k_pref, v_pref = model.apply(
+    logits0, caches = model.apply(
         variables, text_all, seg_all, method=MakeAScene.prefill)
 
-    # preallocate full-length caches; prefix occupies [0, prefix_length)
+    # preallocate full-length per-layer caches; prefix occupies
+    # [0, prefix_length)
     total = cfg.total_length
-    shape = (cfg.num_layers, bb, cfg.num_attn_heads, total, cfg.head_dim)
-    k_cache = jnp.zeros(shape, k_pref.dtype)
-    v_cache = jnp.zeros(shape, v_pref.dtype)
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k_pref, (0, 0, 0, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v_pref, (0, 0, 0, 0, 0))
+    full = jnp.zeros((bb, cfg.num_attn_heads, total, cfg.head_dim),
+                     caches[0][0].dtype)
+    caches = tuple(
+        (jax.lax.dynamic_update_slice(full, k, (0, 0, 0, 0)),
+         jax.lax.dynamic_update_slice(full, v, (0, 0, 0, 0)))
+        for k, v in caches)
 
     rng, r0 = jax.random.split(rng)
     tok0 = _sample_logits(_guided(logits0, b, guidance_scale), r0,
                           temperature, top_k)
 
     def body(carry, step):
-        k_cache, v_cache, tok, rng = carry
+        caches, tok, rng = carry
         tok_in = jnp.tile(tok, (bb // b,))[:, None]          # feed both halves
-        logits, k_cache, v_cache = model.apply(
-            variables, tok_in, step, k_cache, v_cache,
+        logits, caches = model.apply(
+            variables, tok_in, step, caches,
             method=MakeAScene.decode_step)
         rng, r = jax.random.split(rng)
         nxt = _sample_logits(_guided(logits, b, guidance_scale), r,
                              temperature, top_k)
-        return (k_cache, v_cache, nxt, rng), nxt
+        return (caches, nxt, rng), nxt
 
-    (_, _, _, _), rest = jax.lax.scan(
-        body, (k_cache, v_cache, tok0, rng),
+    (_, _, _), rest = jax.lax.scan(
+        body, (caches, tok0, rng),
         jnp.arange(cfg.image_length - 1))
     tokens = jnp.concatenate([tok0[None], rest], axis=0)     # [T_img, B]
     return tokens.T.astype(jnp.int32)

@@ -293,7 +293,13 @@ class MakeAScene(nn.Module):
 
     def prefill(self, text_tokens, seg_tokens):
         """Run the text+seg prefix, return (logits [B, vocab] for the first
-        image token, k_cache, v_cache) with caches [L, B, H, prefix, hd].
+        image token, caches) with caches a per-layer tuple of
+        (k, v) [B, H, prefix, hd].
+
+        Per-layer tuples (not one stacked [L, ...] array) let each decode
+        step update only its layer's buffer via ``dynamic_update_slice`` —
+        XLA keeps the updates in place inside the sampler's ``lax.scan``
+        instead of recopying the whole cache every token.
 
         The prefix attends bidirectionally to itself (the prefix block of the
         mask is all-ones, reference transformer.py:369), so the prefill mask
@@ -302,35 +308,34 @@ class MakeAScene(nn.Module):
         cfg = self.cfg
         emb = self.embed_prefix(text_tokens, seg_tokens)
         mask = jnp.ones((cfg.prefix_length, cfg.prefix_length), bool)
-        ks, vs = [], []
+        caches = []
         x = emb
         for layer in self.layers:
-            x, (k, v) = layer(x, mask, return_kv=True)
-            ks.append(k)
-            vs.append(v)
+            x, kv = layer(x, mask, return_kv=True)
+            caches.append(kv)
         h = self.final_ln(x[:, -1:, :])
         logits = self.to_logits(h)[:, 0]
-        return logits, jnp.stack(ks), jnp.stack(vs)
+        return logits, tuple(caches)
 
-    def decode_step(self, img_token, step, k_cache, v_cache):
+    def decode_step(self, img_token, step, caches):
         """One cached decode step.
 
         img_token [B, 1] (the token generated at image position ``step``);
-        caches [L, B, H, total, hd] already hold prefix + ``step`` image
-        tokens.  Writes this token's k/v at index prefix+step, attends, and
-        returns (logits [B, vocab] for position step+1, new caches).
+        ``caches`` is a per-layer tuple of (k, v) [B, H, total, hd] already
+        holding prefix + ``step`` image tokens.  Writes this token's k/v at
+        index prefix+step, attends, and returns (logits [B, vocab] for
+        position step+1, new caches).
         """
         cfg = self.cfg
         index = cfg.prefix_length + step
         x = self.embed_image(img_token, past_length=step)
-        total = k_cache.shape[3]
+        total = caches[0][0].shape[2]
         kpos = jnp.arange(total)
         mask = (kpos <= index)[None, None, None, :]
-        new_k, new_v = [], []
-        for i, layer in enumerate(self.layers):
-            x, (k, v) = layer.decode(x, mask, k_cache[i], v_cache[i], index)
-            new_k.append(k)
-            new_v.append(v)
+        new_caches = []
+        for layer, (k, v) in zip(self.layers, caches):
+            x, kv = layer.decode(x, mask, k, v, index)
+            new_caches.append(kv)
         h = self.final_ln(x)
         logits = self.to_logits(h)[:, 0]
-        return logits, jnp.stack(new_k), jnp.stack(new_v)
+        return logits, tuple(new_caches)

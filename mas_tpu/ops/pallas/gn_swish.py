@@ -18,9 +18,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile(rows: int) -> int:
+def _pick_tile(rows: int, channels: int = 128) -> int:
+    """Largest power-of-two row tile with in+out double-buffered blocks
+    fitting comfortably in VMEM: 4 * tile * C * 4B <= ~8MB."""
+    budget = (8 << 20) // (16 * channels)
     for t in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if rows % t == 0:
+        if t <= budget and rows % t == 0:
             return t
     return 0
 
@@ -71,7 +74,7 @@ def _kernel(x_ref, scale_ref, bias_ref, g_map_ref, out_ref, acc_ref, *,
 def _gn_swish_fwd_pallas(x, scale, bias, num_groups, eps, interpret=False):
     b, h, w, c = x.shape
     rows = h * w
-    tile = _pick_tile(rows)
+    tile = _pick_tile(rows, c)
     assert tile, f"rows {rows} has no power-of-two tile divisor"
     n_tiles = rows // tile
     xr = x.reshape(b, rows, c)
@@ -115,7 +118,7 @@ def _jnp_forward(x, scale, bias, num_groups, eps):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def gn_swish_pallas(x, scale, bias, num_groups=32, eps=1e-6):
     if (jax.default_backend() != "tpu"
-            or _pick_tile(x.shape[1] * x.shape[2]) == 0
+            or _pick_tile(x.shape[1] * x.shape[2], x.shape[-1]) == 0
             or x.shape[-1] % num_groups):
         return _jnp_forward(x, scale, bias, num_groups, eps)
     return _gn_swish_fwd_pallas(x, scale, bias, num_groups, eps)

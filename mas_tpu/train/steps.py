@@ -76,6 +76,40 @@ def make_seg_train_step(model: VQModel, tx,
     return step
 
 
+def make_transformer_train_step(model, tx, uncond_p: float = 0.1,
+                                start_uncond: int = 0) -> Callable:
+    """Stage-2 AR training step (reference ``train.py:136-161``).
+
+    CFG dropout: with probability ``uncond_p`` the *whole batch's* text
+    tokens are zeroed (the reference uses a single host-side ``random()``
+    per step, ``train.py:147-148``), active from step ``start_uncond``.
+    Loss = cross-entropy of image-position logits vs image tokens.
+    """
+    from .state import TransformerTrainState
+
+    def loss_fn(params, text, seg, img):
+        logits = model.apply({"params": params}, text, seg, img)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), img)
+        return jnp.mean(ce)
+
+    @jax.jit
+    def step(state: TransformerTrainState, text, seg, img, rng):
+        drop = jnp.logical_and(
+            state.step >= start_uncond,
+            jax.random.uniform(rng) < uncond_p)
+        text = jnp.where(drop, jnp.zeros_like(text), text)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, text, seg,
+                                                  img)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        return new_state, dict(loss=loss, uncond=drop)
+
+    return step
+
+
 def make_seg_eval_step(model: VQModel) -> Callable:
     @jax.jit
     def step(params, batch_stats, seg):

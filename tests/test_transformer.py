@@ -1,0 +1,151 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mas_tpu.models.transformer import (MakeAScene, pb_relax_attention,
+                                        prefix_causal_mask)
+from mas_tpu.utils.config import TransformerConfig
+
+TINY = TransformerConfig(
+    num_layers=2, hidden_dim=64, num_attn_heads=8,
+    image_vocab_size=128, seg_vocab_size=128, text_vocab_size=128 + 16,
+    image_tokens_per_dim=4, seg_tokens_per_dim=2, text_length=16)
+# lengths: text 16, seg 4, image 16 => total 36, prefix 20
+
+
+def make_inputs(key, cfg=TINY, batch=2):
+    k1, k2, k3 = jax.random.split(key, 3)
+    text = jax.random.randint(k1, (batch, cfg.text_length), 0,
+                              cfg.text_vocab_size - cfg.text_length)
+    seg = jax.random.randint(k2, (batch, cfg.seg_length), 0,
+                             cfg.seg_vocab_size)
+    img = jax.random.randint(k3, (batch, cfg.image_length), 0,
+                             cfg.image_vocab_size)
+    return text, seg, img
+
+
+def test_forward_shape():
+    model = MakeAScene(TINY)
+    text, seg, img = make_inputs(jax.random.PRNGKey(0))
+    variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+    logits = model.apply(variables, text, seg, img)
+    # matches the reference smoke assert (transformer.py:403)
+    assert logits.shape == (2, TINY.image_length, TINY.image_vocab_size)
+
+
+def test_mask_semantics():
+    mask = prefix_causal_mask(jnp.arange(6), jnp.arange(6), 3)
+    m = np.array(mask)
+    # prefix block fully bidirectional
+    assert m[:3, :3].all()
+    # image part strictly causal
+    assert m[3, 4] == False  # noqa: E712
+    assert m[4, 3] == True   # noqa: E712
+    assert m[5, 5] == True   # noqa: E712
+
+
+def test_causality():
+    """changing a later image token must not affect earlier logits; changing
+    text must affect everything (bidirectional prefix)."""
+    model = MakeAScene(TINY)
+    text, seg, img = make_inputs(jax.random.PRNGKey(0))
+    variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+    base = model.apply(variables, text, seg, img)
+
+    img2 = img.at[:, -1].set((img[:, -1] + 1) % TINY.image_vocab_size)
+    pert = model.apply(variables, text, seg, img2)
+    # logits[t] predicts token t from tokens < t; last token feeds only
+    # nothing (it's never input to any kept position)
+    np.testing.assert_allclose(np.array(base), np.array(pert), atol=1e-5)
+
+    img3 = img.at[:, 0].set((img[:, 0] + 1) % TINY.image_vocab_size)
+    pert3 = model.apply(variables, text, seg, img3)
+    # position 0 is input for logits[1:] but not logits[0]
+    np.testing.assert_allclose(np.array(base[:, 0]), np.array(pert3[:, 0]),
+                               atol=1e-5)
+    assert np.abs(np.array(base[:, 1:]) - np.array(pert3[:, 1:])).max() > 1e-4
+
+
+def test_text_pad_remap():
+    """pad token 0 at different positions embeds differently (remapped to a
+    per-position vocab slot, reference transformer.py:350-353)."""
+    model = MakeAScene(TINY)
+    text, seg, img = make_inputs(jax.random.PRNGKey(0))
+    variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+    zeros = jnp.zeros_like(text)
+    emb = model.apply(variables, zeros, method=MakeAScene.embed_text)
+    # all-pad text still gets distinct embeddings across positions
+    diffs = np.abs(np.array(emb[:, 0]) - np.array(emb[:, 1])).max()
+    assert diffs > 1e-4
+
+
+def test_pb_relax_is_softmax_invariant():
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (1, 2, 8, 16))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 8, 16))
+    mask = jnp.tril(jnp.ones((8, 8), bool))
+    out_relax = pb_relax_attention(q, k, v, mask, pb_relax=True)
+    out_plain = pb_relax_attention(q, k, v, mask, pb_relax=False)
+    np.testing.assert_allclose(np.array(out_relax), np.array(out_plain),
+                               atol=1e-5)
+
+
+class TestDecode:
+    def test_prefill_matches_full_forward(self):
+        model = MakeAScene(TINY)
+        text, seg, img = make_inputs(jax.random.PRNGKey(0))
+        variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+        full = model.apply(variables, text, seg, img)
+        logits0, caches = model.apply(variables, text, seg,
+                                      method=MakeAScene.prefill)
+        # full logits[:, 0] is the prediction for image token 0 — computed
+        # from the last prefix position; prefill returns exactly that
+        np.testing.assert_allclose(np.array(logits0), np.array(full[:, 0]),
+                                   atol=1e-4)
+        assert len(caches) == TINY.num_layers
+        assert caches[0][0].shape == (2, TINY.num_attn_heads,
+                                      TINY.prefix_length, TINY.head_dim)
+
+    def test_decode_steps_match_full_forward(self):
+        """KV-cache decode logits == training forward logits (reference
+        inference path equivalence, SURVEY §4(e))."""
+        cfg = TINY
+        model = MakeAScene(cfg)
+        text, seg, img = make_inputs(jax.random.PRNGKey(0))
+        variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+        full = model.apply(variables, text, seg, img)  # [B, T_img, V]
+
+        logits0, caches = model.apply(variables, text, seg,
+                                      method=MakeAScene.prefill)
+        total = cfg.total_length
+        full_buf = jnp.zeros((2, cfg.num_attn_heads, total, cfg.head_dim),
+                             caches[0][0].dtype)
+        caches = tuple(
+            (jax.lax.dynamic_update_slice(full_buf, k, (0, 0, 0, 0)),
+             jax.lax.dynamic_update_slice(full_buf, v, (0, 0, 0, 0)))
+            for k, v in caches)
+
+        got = [logits0]
+        for step in range(cfg.image_length - 1):
+            tok = img[:, step:step + 1]   # teacher-force the real tokens
+            logits, caches = model.apply(
+                variables, tok, step, caches,
+                method=MakeAScene.decode_step)
+            got.append(logits)
+        got = jnp.stack(got, axis=1)      # [B, T_img, V]
+        np.testing.assert_allclose(np.array(got), np.array(full), atol=2e-4)
+
+
+def test_sampler_runs():
+    from mas_tpu.models.sampler import sample_tokens
+    model = MakeAScene(TINY)
+    text, seg, img = make_inputs(jax.random.PRNGKey(0))
+    variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+    toks = sample_tokens(model, variables, text, seg, jax.random.PRNGKey(2),
+                         guidance_scale=2.0, temperature=1.0, top_k=32)
+    assert toks.shape == (2, TINY.image_length)
+    assert toks.dtype == jnp.int32
+    assert int(toks.max()) < TINY.image_vocab_size
+    assert int(toks.min()) >= 0
