@@ -1,0 +1,183 @@
+"""Command-line entry point: mode dispatch over typed JSON configs.
+
+Replaces the reference Hydra ``launch()`` (``/root/reference/train.py:
+207-225``; modes ``pretrain_segmentation`` / ``pretrain_image`` /
+``train_transformer`` / ``show`` / ``preprocess_dataset``) with argparse +
+the strict dataclass config schema (``mas_tpu.utils.config``), and adds the
+``sample`` mode the reference never shipped.
+
+Usage:
+    python -m mas_tpu.cli --config configs/seg_256.json [--mode ...]
+    python -m mas_tpu.cli --mode sample --config configs/sample_256.json
+
+Config files are JSON objects with sections ``train`` / ``model`` /
+``transformer`` / ``loss`` / ``data``; unknown keys anywhere are errors
+(the reference's kwargs-swallowing misconfigured its own seg decoder —
+SURVEY §2.4 pitfall).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any, Dict
+
+from .utils.config import (ConfigError, SegLossConfig, TrainConfig,
+                           TransformerConfig, VQGANLossConfig, VQModelConfig,
+                           vq_img_config, vq_seg_config)
+
+
+def _load(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def _global_batch(train_cfg: TrainConfig) -> int:
+    """Reference configs give a *per-replica* batch (batch 2/GPU,
+    ``conf/img_config.yaml:2-17``); the global-view loop wants the global
+    batch = per-replica x data-axis size."""
+    import jax
+
+    data, _ = train_cfg.mesh.shape(len(jax.devices()))
+    return train_cfg.batch_size * data
+
+
+def _data_iter(data_cfg: Dict[str, Any], mode: str, batch_size: int,
+               model_cfg=None, tcfg=None):
+    """Build the host batch iterator from the config's ``data`` section."""
+    from .data.dataset import (PreprocessedWebDataset, SyntheticImgBatches,
+                               SyntheticSegBatches, SyntheticTokenBatches,
+                               batch_iterator)
+
+    kind = data_cfg.get("kind", "synthetic")
+    if kind == "synthetic":
+        res = data_cfg.get("resolution",
+                           model_cfg.resolution if model_cfg else 256)
+        seed = data_cfg.get("seed", 0)
+        if mode == "pretrain_segmentation":
+            return iter(SyntheticSegBatches(batch_size, res, seed))
+        if mode == "pretrain_image":
+            return iter(SyntheticImgBatches(batch_size, res, seed=seed))
+        return iter(SyntheticTokenBatches(batch_size, tcfg, seed))
+    if kind == "webdataset":
+        import jax
+
+        ds = PreprocessedWebDataset(
+            data_cfg["shards"],
+            resolution=data_cfg.get("resolution", 512),
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            need_seg=(mode != "pretrain_image"))
+        return batch_iterator(ds, batch_size,
+                              max_boxes=data_cfg.get("max_boxes", 6),
+                              need_seg=(mode != "pretrain_image"))
+    raise ConfigError(f"unknown data kind {kind!r}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mas_tpu",
+                                 description=__doc__.split("\n")[0])
+    ap.add_argument("--config", required=True, help="JSON config path")
+    ap.add_argument("--mode", default=None,
+                    help="override the config's train.mode")
+    args = ap.parse_args(argv)
+
+    raw = _load(args.config)
+    train_raw = dict(raw.get("train", {}))
+    if args.mode:
+        train_raw["mode"] = args.mode
+    mode = train_raw.get("mode", "pretrain_segmentation")
+    train_modes = ("pretrain_segmentation", "pretrain_image",
+                   "train_transformer")
+    # TrainConfig only validates the 3 training modes; eval/sample/preprocess
+    # modes reuse its generic fields
+    train_raw["mode"] = mode if mode in train_modes else train_modes[0]
+    train_cfg = TrainConfig.from_dict(train_raw)
+
+    from .train import loop as L
+
+    if mode == "pretrain_segmentation":
+        model_cfg = (VQModelConfig.from_dict(raw["model"])
+                     if "model" in raw else vq_seg_config())
+        loss_cfg = (SegLossConfig.from_dict(raw["loss"])
+                    if "loss" in raw else SegLossConfig())
+        batches = _data_iter(raw.get("data", {}), mode,
+                             _global_batch(train_cfg), model_cfg)
+        L.run_pretrain_segmentation(train_cfg, model_cfg, batches, loss_cfg)
+    elif mode == "pretrain_image":
+        model_cfg = (VQModelConfig.from_dict(raw["model"])
+                     if "model" in raw else vq_img_config())
+        loss_cfg = (VQGANLossConfig.from_dict(raw["loss"])
+                    if "loss" in raw else VQGANLossConfig())
+        batches = _data_iter(raw.get("data", {}), mode,
+                             _global_batch(train_cfg), model_cfg)
+        L.run_pretrain_image(
+            train_cfg, model_cfg, batches, loss_cfg,
+            lpips_params_path=raw.get("lpips_weights"),
+            face_params_path=raw.get("face_weights"))
+    elif mode == "train_transformer":
+        tcfg = (TransformerConfig.from_dict(raw["transformer"])
+                if "transformer" in raw else TransformerConfig())
+        batches = _data_iter(raw.get("data", {}), mode,
+                             _global_batch(train_cfg), tcfg=tcfg)
+        L.run_train_transformer(train_cfg, tcfg, batches)
+    elif mode == "show":
+        model_cfg = (VQModelConfig.from_dict(raw["model"])
+                     if "model" in raw else vq_seg_config())
+        batches = _data_iter(raw.get("data", {}), "pretrain_segmentation",
+                             train_cfg.batch_size, model_cfg)
+        paths = L.run_show(train_cfg, model_cfg, batches,
+                           n_samples=raw.get("n_samples", 40))
+        print("\n".join(paths))
+    elif mode == "sample":
+        _run_sample(raw, train_cfg)
+    elif mode == "preprocess_dataset":
+        from .data.preprocess import run_preprocessor
+
+        run_preprocessor(raw.get("preprocess", {}))
+    else:
+        raise ConfigError(f"unknown mode {mode!r}")
+    return 0
+
+
+def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:
+    """text+seg -> image sampling (the script the reference lacks)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models.sampler import sample_images
+    from .models.transformer import MakeAScene
+    from .models.vqvae import VQModel
+    from .utils.checkpoint import restore_checkpoint
+    from .utils.logging import make_grid, save_image
+
+    tcfg = TransformerConfig.from_dict(raw["transformer"])
+    vq_cfg = VQModelConfig.from_dict(raw["model"])
+    transformer = MakeAScene(tcfg)
+    vq = VQModel(vq_cfg)
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    b = train_cfg.batch_size
+    text = jnp.zeros((b, tcfg.text_length), jnp.int32)
+    seg = jnp.zeros((b, tcfg.seg_length), jnp.int32)
+    tvars = transformer.init(rng, text, seg,
+                             jnp.zeros((b, tcfg.image_length), jnp.int32))
+    vvars = vq.init(jax.random.PRNGKey(1),
+                    jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution,
+                               vq_cfg.in_channels)))
+    if raw.get("transformer_checkpoint"):
+        tvars = restore_checkpoint(raw["transformer_checkpoint"], tvars)
+    if raw.get("vq_checkpoint"):
+        vvars = restore_checkpoint(raw["vq_checkpoint"], vvars)
+    imgs = sample_images(transformer, tvars, vq, vvars, text, seg, rng,
+                         guidance_scale=raw.get("guidance_scale", 3.0),
+                         temperature=raw.get("temperature", 1.0),
+                         top_k=raw.get("top_k", 0))
+    out = raw.get("output", "samples.jpg")
+    save_image(make_grid(np.clip(np.asarray(imgs), 0, 1)), out)
+    print(out)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,325 @@
+"""Datasets + batching for the three training stages.
+
+Rebuilds the reference data layer (``/root/reference/Data/
+dataset_preprocessor.py``, ``dataset_preprocessor_web.py``, ``utils.py``)
+host-side with numpy + PIL (no cv2/albumentations/webdataset in this image):
+
+  * ``PreprocessedWebDataset`` — streaming samples from WebDataset-style tar
+    shards (jpg + npz + txt members): decode, 512^2 smallest-max-size +
+    center crop, 159-channel seg assembly, bbox sanitation
+    (``dataset_preprocessor_web.py:78-143``),
+  * ``PreprocessedLocalDataset`` — map-style over per-image
+    ``{name}_{panoptic,human,face}.npz`` files with SmallestMaxSize(256) +
+    RandomCrop(256) (``dataset_preprocessor.py:32-38,54-95``),
+  * ``collate`` — stacks images/masks, pads ragged boxes to [B, M, 4]
+    (vs the reference's python list-of-lists, ``utils.py:4-13``; fixed
+    shapes are what keep the train step jit-static),
+  * ``Synthetic*Batches`` — seeded random data matching each stage's batch
+    spec, for tests and benches (the annotator networks that produced real
+    npz files are offline tooling — see ``mas_tpu.data.preprocess``).
+
+Batches are dicts of numpy arrays, NHWC, images in [0, 1] float32 — ready
+for ``parallel.mesh.shard_batch``.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .segmap import (NUM_SEG_CHANNELS, assemble_seg_map, pad_boxes,
+                     sanitize_bboxes)
+from .tario import expand_shards, iter_tar_samples, shard_split, \
+    warn_and_continue
+
+
+# --------------------------------------------------------------------------
+# host-side image ops (PIL-backed)
+# --------------------------------------------------------------------------
+
+def decode_jpg(data: bytes) -> np.ndarray:
+    """jpeg/png bytes -> [H, W, 3] float32 in [0, 1] (the reference's
+    ``.decode('rgb')``)."""
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    return np.asarray(img, np.float32) / 255.0
+
+
+def smallest_max_size(img: np.ndarray, size: int) -> np.ndarray:
+    """Resize so the SMALLER edge == size (albumentations SmallestMaxSize)."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    s = size / min(h, w)
+    nh, nw = max(int(round(h * s)), size), max(int(round(w * s)), size)
+    if (nh, nw) == (h, w):
+        return img
+    arr = np.asarray(
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
+            (nw, nh), Image.BILINEAR), np.float32) / 255.0
+    return arr
+
+
+def center_crop(img: np.ndarray, size: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    top, left = (h - size) // 2, (w - size) // 2
+    return img[top:top + size, left:left + size]
+
+
+def _shift_boxes(boxes: List[List[float]], dx: float, dy: float,
+                 scale: float) -> List[List[float]]:
+    return [[b[0] * scale - dx, b[1] * scale - dy,
+             b[2] * scale - dx, b[3] * scale - dy] for b in boxes]
+
+
+# --------------------------------------------------------------------------
+# streaming web dataset
+# --------------------------------------------------------------------------
+
+class PreprocessedWebDataset:
+    """Iterate preprocessed tar shards -> per-sample dicts.
+
+    Each tar sample holds ``jpg`` (image), ``npz`` (seg_panoptic,
+    edge_panoptic, seg_human, edge_human, seg_face, box_things, box_face)
+    and ``txt`` (caption) members — the layout the repack stage writes
+    (reference ``preprocessor_web.py:234-268``).
+    """
+
+    def __init__(self, shards, resolution: int = 512,
+                 process_index: int = 0, process_count: int = 1,
+                 need_seg: bool = True, handler=warn_and_continue):
+        self.shards = expand_shards(shards)
+        self.resolution = resolution
+        self.process_index = process_index
+        self.process_count = process_count
+        self.need_seg = need_seg
+        self.handler = handler
+
+    def _process(self, raw: Dict[str, bytes]) -> Dict[str, object]:
+        res = self.resolution
+        img = decode_jpg(raw["jpg"])
+        h0, w0 = img.shape[:2]
+        scale = res / min(h0, w0)
+        img = center_crop(smallest_max_size(img, res), res)
+        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+        dy, dx = (nh - res) / 2.0, (nw - res) / 2.0
+
+        npz = np.load(io.BytesIO(raw["npz"]), allow_pickle=False)
+        sample: Dict[str, object] = {
+            "image": img,
+            "caption": raw.get("txt", b"").decode("utf-8", "replace"),
+        }
+        if self.need_seg:
+            sample["mask"] = assemble_seg_map(
+                npz["seg_panoptic"], npz["edge_panoptic"],
+                npz["seg_human"], npz["edge_human"], npz["seg_face"])
+        box_things = _shift_boxes(
+            [list(map(float, b)) for b in npz["box_things"]], dx, dy, scale)
+        box_face = _shift_boxes(
+            [list(map(float, b)) for b in npz["box_face"]], dx, dy, scale)
+        sample["box_things"] = sanitize_bboxes(box_things, frame=res)
+        sample["box_face"] = sanitize_bboxes(box_face, frame=res)
+        return sample
+
+    def __iter__(self) -> Iterator[Dict[str, object]]:
+        shards = shard_split(self.shards, self.process_index,
+                             self.process_count)
+        for shard in shards:
+            for raw in iter_tar_samples(shard, handler=self.handler):
+                try:
+                    if "jpg" not in raw or "npz" not in raw:
+                        continue
+                    yield self._process(raw)
+                except Exception as exn:              # noqa: BLE001
+                    if self.handler(exn):
+                        continue
+                    raise
+
+
+# --------------------------------------------------------------------------
+# local map-style dataset (per-image npz triplets, COCO layout)
+# --------------------------------------------------------------------------
+
+class PreprocessedLocalDataset:
+    """Map-style dataset over ``{root}/{name}_{kind}.npz`` annotator outputs
+    + an image dir (reference ``Data/dataset_preprocessor.py:54-95``).
+    Applies SmallestMaxSize(resolution) + RandomCrop(resolution)."""
+
+    def __init__(self, image_dir: str, preprocessed_dir: str,
+                 resolution: int = 256, seed: int = 0):
+        self.image_dir = image_dir
+        self.pre = preprocessed_dir
+        self.resolution = resolution
+        self.rng = np.random.default_rng(seed)
+        names = set()
+        for f in os.listdir(preprocessed_dir):
+            if f.endswith("_panoptic.npz"):
+                names.add(f[:-len("_panoptic.npz")])
+        self.names = sorted(names)
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __getitem__(self, idx: int) -> Dict[str, object]:
+        name = self.names[idx]
+        pan = np.load(os.path.join(self.pre, f"{name}_panoptic.npz"))
+        hum = np.load(os.path.join(self.pre, f"{name}_human.npz"))
+        face = np.load(os.path.join(self.pre, f"{name}_face.npz"))
+        mask = assemble_seg_map(pan["seg_panoptic"], pan["edges"],
+                                hum["seg_human"], hum["edges"],
+                                face["seg_face"])
+        img_path = None
+        for ext in (".jpg", ".jpeg", ".png"):
+            p = os.path.join(self.image_dir, name + ext)
+            if os.path.exists(p):
+                img_path = p
+                break
+        if img_path is None:
+            raise FileNotFoundError(f"no image for {name}")
+        with open(img_path, "rb") as f:
+            img = decode_jpg(f.read())
+
+        res = self.resolution
+        h0 = img.shape[0]
+        img = smallest_max_size(img, res)
+        mask = _resize_mask_nearest(mask, res)
+        scale = img.shape[0] / h0
+        h, w = img.shape[:2]
+        top = int(self.rng.integers(0, h - res + 1))
+        left = int(self.rng.integers(0, w - res + 1))
+        img = img[top:top + res, left:left + res]
+        mask = mask[top:top + res, left:left + res]
+        boxes_t = _shift_boxes([list(map(float, b))
+                                for b in pan["box_things"]],
+                               left, top, scale)
+        boxes_f = _shift_boxes([list(map(float, b)) for b in face["box_face"]],
+                               left, top, scale)
+        return dict(image=img, mask=mask,
+                    box_things=sanitize_bboxes(boxes_t, frame=res),
+                    box_face=sanitize_bboxes(boxes_f, frame=res),
+                    caption=name)
+
+
+def _resize_mask_nearest(mask: np.ndarray, size: int) -> np.ndarray:
+    h, w = mask.shape[:2]
+    s = size / min(h, w)
+    nh, nw = max(int(round(h * s)), size), max(int(round(w * s)), size)
+    if (nh, nw) == (h, w):
+        return mask
+    yi = np.clip((np.arange(nh) / s).astype(np.int64), 0, h - 1)
+    xi = np.clip((np.arange(nw) / s).astype(np.int64), 0, w - 1)
+    return mask[yi][:, xi]
+
+
+# --------------------------------------------------------------------------
+# collate + batching
+# --------------------------------------------------------------------------
+
+def collate(samples: Sequence[Dict[str, object]], max_boxes: int = 6,
+            need_seg: bool = True) -> Dict[str, np.ndarray]:
+    """Stack a list of samples into fixed-shape arrays (reference
+    ``utils.py:4-13``, but with padded [B, M, 4] boxes instead of ragged
+    python lists so the train step stays jit-static)."""
+    batch: Dict[str, object] = {
+        "image": np.stack([s["image"] for s in samples]).astype(np.float32),
+        "bbox_obj": np.stack([pad_boxes(s.get("box_things", []), max_boxes)
+                              for s in samples]),
+        "bbox_face": np.stack([pad_boxes(s.get("box_face", []), max_boxes)
+                               for s in samples]),
+        "caption": [s.get("caption", "") for s in samples],
+    }
+    if need_seg:
+        batch["mask"] = np.stack(
+            [s["mask"] for s in samples]).astype(np.float32)
+    return batch
+
+
+def batch_iterator(dataset: Iterable[Dict[str, object]], batch_size: int,
+                   max_boxes: int = 6, need_seg: bool = True,
+                   drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    buf: List[Dict[str, object]] = []
+    for sample in dataset:
+        buf.append(sample)
+        if len(buf) == batch_size:
+            yield collate(buf, max_boxes, need_seg)
+            buf = []
+    if buf and not drop_last:
+        yield collate(buf, max_boxes, need_seg)
+
+
+# --------------------------------------------------------------------------
+# synthetic data (tests / benches; stands in for the offline annotators)
+# --------------------------------------------------------------------------
+
+class SyntheticSegBatches:
+    """Random 159-channel one-hot seg batches (VQ-SEG stage)."""
+
+    def __init__(self, batch_size: int, resolution: int = 256, seed: int = 0):
+        self.batch_size = batch_size
+        self.resolution = resolution
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        while True:
+            b, r = self.batch_size, self.resolution
+            pan = self.rng.integers(-1, 133, (b, r, r))
+            hum = self.rng.integers(-1, 20, (b, r, r))
+            face = self.rng.integers(0, 6, (b, r, r))
+            edge = self.rng.integers(0, 2, (b, r, r))
+            zero = np.zeros((b, r, r), np.int64)
+            mask = np.stack([
+                assemble_seg_map(pan[i], edge[i], hum[i], zero[i], face[i])
+                for i in range(b)])
+            yield {"mask": mask.astype(np.float32)}
+
+
+class SyntheticImgBatches:
+    """Random RGB + bbox batches (VQ-IMG stage)."""
+
+    def __init__(self, batch_size: int, resolution: int = 256,
+                 max_boxes: int = 6, seed: int = 0):
+        self.batch_size = batch_size
+        self.resolution = resolution
+        self.max_boxes = max_boxes
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        b, r, m = self.batch_size, self.resolution, self.max_boxes
+        while True:
+            img = self.rng.random((b, r, r, 3), np.float32)
+            boxes = np.zeros((b, m, 4), np.float32)
+            n = self.rng.integers(0, m + 1, (b,))
+            for i in range(b):
+                for j in range(int(n[i])):
+                    x0 = self.rng.integers(0, r - 32)
+                    y0 = self.rng.integers(0, r - 32)
+                    side = self.rng.integers(24, min(96, r - max(x0, y0)))
+                    boxes[i, j] = (x0, y0, x0 + side, y0 + side)
+            yield {"image": img, "bbox_obj": boxes, "bbox_face": boxes.copy()}
+
+
+class SyntheticTokenBatches:
+    """Random (text, seg, image) token batches (transformer stage)."""
+
+    def __init__(self, batch_size: int, cfg, seed: int = 0):
+        self.batch_size = batch_size
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        cfg, b = self.cfg, self.batch_size
+        while True:
+            yield {
+                "text": self.rng.integers(
+                    0, cfg.text_vocab_size - cfg.text_length,
+                    (b, cfg.text_length), dtype=np.int32),
+                "seg": self.rng.integers(0, cfg.seg_vocab_size,
+                                         (b, cfg.seg_length), dtype=np.int32),
+                "image": self.rng.integers(
+                    0, cfg.image_vocab_size, (b, cfg.image_length),
+                    dtype=np.int32),
+            }

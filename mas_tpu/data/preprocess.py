@@ -1,0 +1,285 @@
+"""Offline data factory: annotator fan-out + tar repacking.
+
+Rebuilds the reference preprocessing subsystem (``/root/reference/Data/
+preprocessor.py``, ``preprocessor_web.py``): run three annotators
+(panoptic / human-parts / face) over an image corpus, persist per-image
+npz results, and repack image+caption+annotations into processed tar shards
+ready for ``PreprocessedWebDataset``.
+
+This is host-side CPU tooling, not TPU runtime (SURVEY §2.5).  The original
+annotators are heavyweight pretrained GPU nets (Detectron2 Panoptic-DeepLab,
+SCHP, face_alignment) that are not present in this image and are *data
+producers*, not framework components — the orchestration here accepts any
+``Annotator`` callable, ships a ``SyntheticAnnotator`` for tests/benches,
+and a ``TorchScriptAnnotator`` adapter for user-supplied serialized models.
+
+Orchestration parity with the reference:
+  * local mode: one process per (annotator x worker); each strides the
+    dataset ``idx % total == pid`` (``preprocessor.py:91-93``), saves
+    ``{name}_{kind}.npz`` (``preprocessor.py:94-99``),
+  * web mode: per-annotator worker pools over shards, a coordinator that
+    counts per-tar completions across all annotators via a ready-queue
+    protocol ``{kind}/{worker}/{state}/{tar}`` and repacks a tar once all
+    annotators report it done (``preprocessor_web.py:157-232``), merging
+    jpg+txt+npz members into the output shard (``:234-268``);
+    machine-level sharding via ``machine_idx``/``machines_total``
+    (``conf/preprocess_data_web.yaml:13-14``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import multiprocessing as mp
+import os
+import tarfile
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .tario import expand_shards, iter_tar_samples
+
+Annotator = Callable[[np.ndarray], Dict[str, np.ndarray]]
+
+ANNOTATOR_KINDS = ("panoptic", "human", "face")
+
+
+class SyntheticAnnotator:
+    """Deterministic stand-in emitting the reference npz schema per kind
+    (``detectron2_preprocessor.py:84-103``, ``human_parts_preprocessor.py:
+    78-101``, ``face_alignment_preprocessor.py:103-133``)."""
+
+    def __init__(self, kind: str, seed: int = 0):
+        assert kind in ANNOTATOR_KINDS
+        self.kind = kind
+        self.seed = seed
+
+    def __call__(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        h, w = image.shape[:2]
+        rng = np.random.default_rng(
+            self.seed + int(image[:8, :8].sum() * 255) % 100003)
+        if self.kind == "panoptic":
+            return {
+                "seg_panoptic": rng.integers(-1, 133, (h, w)).astype(np.int16),
+                "edges": rng.integers(0, 2, (h, w)).astype(np.uint8),
+                "box_things": np.array([[4, 4, w // 2, h // 2]], np.float32),
+            }
+        if self.kind == "human":
+            return {
+                "seg_human": rng.integers(-1, 20, (h, w)).astype(np.int16),
+                "edges": rng.integers(0, 2, (h, w)).astype(np.uint8),
+            }
+        return {
+            "seg_face": rng.integers(0, 6, (h, w)).astype(np.uint8),
+            "box_face": np.zeros((0, 4), np.float32),
+        }
+
+
+class TorchScriptAnnotator:
+    """Adapter for a user-supplied ``torch.jit`` model emitting the npz
+    schema; loaded lazily inside the worker process."""
+
+    def __init__(self, kind: str, path: str):
+        self.kind = kind
+        self.path = path
+        self._model = None
+
+    def __call__(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        import torch
+
+        if self._model is None:
+            self._model = torch.jit.load(self.path, map_location="cpu")
+        with torch.no_grad():
+            out = self._model(
+                torch.from_numpy(image).permute(2, 0, 1)[None].float())
+        return {k: v.numpy() for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# local mode
+# ---------------------------------------------------------------------------
+
+def preprocess_local(image_paths: Sequence[str], out_dir: str,
+                     annotators: Dict[str, Annotator],
+                     workers_per_annotator: int = 1) -> None:
+    """One process per (annotator, worker); stride split over images."""
+    os.makedirs(out_dir, exist_ok=True)
+    procs = []
+    for kind, ann in annotators.items():
+        for w in range(workers_per_annotator):
+            p = mp.Process(target=_local_worker,
+                           args=(list(image_paths), out_dir, kind, ann, w,
+                                 workers_per_annotator))
+            p.start()
+            procs.append(p)
+    for p in procs:
+        p.join()
+        if p.exitcode != 0:
+            raise RuntimeError(f"annotator worker failed: {p.exitcode}")
+
+
+def _local_worker(paths: List[str], out_dir: str, kind: str, ann: Annotator,
+                  worker: int, total: int) -> None:
+    from .dataset import decode_jpg
+
+    for i, path in enumerate(paths):
+        if i % total != worker:
+            continue
+        name = os.path.splitext(os.path.basename(path))[0]
+        dst = os.path.join(out_dir, f"{name}_{kind}.npz")
+        if os.path.exists(dst):
+            continue
+        with open(path, "rb") as f:
+            img = decode_jpg(f.read())
+        np.savez(dst, **ann(img))
+
+
+# ---------------------------------------------------------------------------
+# web (tar shard) mode
+# ---------------------------------------------------------------------------
+
+def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
+                   machine_idx: int = 0, machines_total: int = 1,
+                   max_repack: int = 4) -> List[str]:
+    """Annotate every sample of every shard, then repack processed shards.
+
+    Returns the list of written output tar paths.  The coordinator consumes
+    ``{kind}/{worker}/{done}/{tar}`` messages and repacks once all
+    annotator kinds report a tar complete (reference ready-queue protocol,
+    ``preprocessor_web.py:157-232``).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    scratch = os.path.join(out_dir, "_scratch")
+    os.makedirs(scratch, exist_ok=True)
+    shards = [s for i, s in enumerate(expand_shards(shards))
+              if i % machines_total == machine_idx]
+
+    ready: mp.Queue = mp.Queue()
+    procs = []
+    for kind, ann in annotators.items():
+        p = mp.Process(target=_web_worker,
+                       args=(shards, scratch, kind, ann, ready))
+        p.start()
+        procs.append(p)
+
+    # coordinator: count per-tar completions, repack when all kinds done
+    done_counts: Dict[str, int] = {}
+    state: Dict[str, str] = {}
+    outputs: List[str] = []
+    n_kinds = len(annotators)
+    finished_workers = 0
+    repack_procs: List[mp.Process] = []
+    while finished_workers < n_kinds:
+        msg = ready.get()
+        kind, worker, event, tar = msg.split("/", 3)
+        if event == "exit":
+            finished_workers += 1
+            continue
+        if event != "done":
+            state[tar] = f"{kind}:{event}"
+            continue
+        done_counts[tar] = done_counts.get(tar, 0) + 1
+        if done_counts[tar] == n_kinds:
+            out_tar = os.path.join(out_dir, os.path.basename(tar))
+            repack_procs = [p for p in repack_procs if p.is_alive()]
+            while len(repack_procs) >= max_repack:
+                time.sleep(0.05)
+                repack_procs = [p for p in repack_procs if p.is_alive()]
+            p = mp.Process(target=repack_single_tar,
+                           args=(tar, scratch, out_tar,
+                                 tuple(annotators)))
+            p.start()
+            repack_procs.append(p)
+            outputs.append(out_tar)
+            _write_state(out_dir, done_counts, state)
+    for p in procs + repack_procs:
+        p.join()
+    return outputs
+
+
+def _web_worker(shards: List[str], scratch: str, kind: str, ann: Annotator,
+                ready: mp.Queue) -> None:
+    from .dataset import decode_jpg
+
+    for shard in shards:
+        base = os.path.basename(shard)
+        ready.put(f"{kind}/0/started/{shard}")
+        for sample in iter_tar_samples(shard):
+            if "jpg" not in sample:
+                continue
+            img = decode_jpg(sample["jpg"])  # type: ignore[arg-type]
+            key = sample["__key__"]
+            np.savez(os.path.join(scratch, f"{key}_{kind}.npz"),
+                     **ann(img))
+        ready.put(f"{kind}/0/done/{shard}")
+    ready.put(f"{kind}/0/exit/-")
+
+
+def repack_single_tar(src_tar: str, scratch: str, out_tar: str,
+                      kinds: Sequence[str]) -> None:
+    """Merge source jpg/txt members + the per-kind npz outputs into one
+    processed tar with a single combined npz per sample (the layout
+    ``PreprocessedWebDataset`` consumes)."""
+    with tarfile.open(out_tar, "w") as out:
+        for sample in iter_tar_samples(src_tar):
+            key = sample["__key__"]
+            merged: Dict[str, np.ndarray] = {}
+            ok = True
+            for kind in kinds:
+                path = os.path.join(scratch, f"{key}_{kind}.npz")
+                if not os.path.exists(path):
+                    ok = False
+                    break
+                with np.load(path) as z:
+                    for name in z.files:
+                        new = _RENAME.get((kind, name), name)
+                        merged[new] = z[name]
+            if not ok:
+                continue
+            for ext in ("jpg", "txt"):
+                if ext in sample:
+                    _add_member(out, f"{key}.{ext}", sample[ext])
+            buf = io.BytesIO()
+            np.savez(buf, **merged)
+            _add_member(out, f"{key}.npz", buf.getvalue())
+
+
+# annotator-local npz names -> combined-tar names
+# (reference per-annotator files use "edges"; the combined tar uses
+#  edge_panoptic / edge_human — dataset_preprocessor_web.py:100-110)
+_RENAME = {
+    ("panoptic", "edges"): "edge_panoptic",
+    ("human", "edges"): "edge_human",
+}
+
+
+def _add_member(tf: tarfile.TarFile, name: str, data: bytes) -> None:
+    info = tarfile.TarInfo(name)
+    info.size = len(data)
+    tf.addfile(info, io.BytesIO(data))
+
+
+def _write_state(out_dir: str, done_counts: Dict[str, int],
+                 state: Dict[str, str]) -> None:
+    """Progress JSON (reference info.state, preprocessor_web.py:222-226)."""
+    with open(os.path.join(out_dir, "info.state"), "w") as f:
+        json.dump({"done": done_counts, "state": state}, f)
+
+
+def run_preprocessor(cfg: Dict) -> List[str]:
+    """CLI glue: build annotators from config and dispatch local/web mode."""
+    anns: Dict[str, Annotator] = {}
+    for kind in ANNOTATOR_KINDS:
+        spec = cfg.get("annotators", {}).get(kind, {"type": "synthetic"})
+        if spec.get("type") == "torchscript":
+            anns[kind] = TorchScriptAnnotator(kind, spec["path"])
+        else:
+            anns[kind] = SyntheticAnnotator(kind, seed=spec.get("seed", 0))
+    if cfg.get("mode", "web") == "local":
+        preprocess_local(cfg["images"], cfg["out_dir"], anns,
+                         cfg.get("workers_per_annotator", 1))
+        return []
+    return preprocess_web(cfg["shards"], cfg["out_dir"], anns,
+                          machine_idx=cfg.get("machine_idx", 0),
+                          machines_total=cfg.get("machines_total", 1))

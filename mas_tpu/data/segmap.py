@@ -1,0 +1,108 @@
+"""Segmentation-map assembly: the 159-channel one-hot representation.
+
+Rebuilds the reference seg-map channel layout (``/root/reference/Data/
+dataset_preprocessor_web.py:96-128``, ``Data/README.md:16-29``,
+``log_utils.py:33-38``):
+
+  [0, 133)   panoptic classes (COCO panoptic, label -1 = unlabeled dropped
+             via the +1 one-hot / slice-off-channel-0 trick)
+  [133, 153) human-parts classes (20; label -1 dropped the same way)
+  [153, 158) face classes (5: beard/brow/nose/eye/mouth; label 0 background)
+  [158, 159) edge channel = panoptic-instance edges + human edges (the
+             reference *sums* the two binary maps — values can reach 2.0 —
+             preserved here)
+
+Host-side assembly is vectorized numpy (this feeds the input pipeline);
+``one_hot_seg`` is the jit-able jnp twin used in-graph (BASELINE north star
+asks for jit-able seg assembly).
+
+Bbox sanitation mirrors ``Data/utils.py:1-27``: clamp to the frame, drop
+boxes with non-positive extent or any side < 16 px.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple, Union
+
+import numpy as np
+
+NUM_PANOPTIC = 133
+NUM_HUMAN = 20
+NUM_FACE = 5
+NUM_SEG_CHANNELS = NUM_PANOPTIC + NUM_HUMAN + NUM_FACE + 1   # 159
+
+PANOPTIC_SLICE = slice(0, NUM_PANOPTIC)
+HUMAN_SLICE = slice(NUM_PANOPTIC, NUM_PANOPTIC + NUM_HUMAN)
+FACE_SLICE = slice(NUM_PANOPTIC + NUM_HUMAN, NUM_PANOPTIC + NUM_HUMAN + NUM_FACE)
+EDGE_CHANNEL = NUM_SEG_CHANNELS - 1
+
+
+def _one_hot_np(labels: np.ndarray, num_classes: int) -> np.ndarray:
+    """``one_hot(labels, C + 1)[..., 1:]``: label 0 maps to all-zeros —
+    the reference's unlabeled/background-drop trick.  ``labels`` must
+    already be shifted into [0, C]."""
+    eye = np.eye(num_classes + 1, dtype=np.float32)[:, 1:]
+    return eye[labels.astype(np.int64)]
+
+
+def assemble_seg_map(seg_panoptic: np.ndarray, edge_panoptic: np.ndarray,
+                     seg_human: np.ndarray, edge_human: np.ndarray,
+                     seg_face: np.ndarray) -> np.ndarray:
+    """Per-pixel label maps -> [H, W, 159] float32 one-hot seg map.
+
+    seg_panoptic: int in [-1, 133), -1 = unlabeled
+    seg_human:    int in [-1, 20),  -1 = unlabeled
+    seg_face:     int in [0, 6),     0 = background
+    edge_*:       binary {0, 1} maps
+    """
+    pan = _one_hot_np(seg_panoptic + 1, NUM_PANOPTIC)
+    hum = _one_hot_np(seg_human + 1, NUM_HUMAN)
+    face = _one_hot_np(seg_face, NUM_FACE)
+    edges = (edge_panoptic.astype(np.float32)
+             + edge_human.astype(np.float32))[..., None]
+    return np.concatenate([pan, hum, face, edges], axis=-1)
+
+
+def one_hot_seg(seg_panoptic, edge_panoptic, seg_human, edge_human, seg_face):
+    """jnp twin of ``assemble_seg_map`` (jit-able, device-side)."""
+    import jax.numpy as jnp
+
+    pan = jnp.eye(NUM_PANOPTIC + 1, dtype=jnp.float32)[
+        seg_panoptic.astype(jnp.int32) + 1][..., 1:]
+    hum = jnp.eye(NUM_HUMAN + 1, dtype=jnp.float32)[
+        seg_human.astype(jnp.int32) + 1][..., 1:]
+    face = jnp.eye(NUM_FACE + 1, dtype=jnp.float32)[
+        seg_face.astype(jnp.int32)][..., 1:]
+    edges = (edge_panoptic.astype(jnp.float32)
+             + edge_human.astype(jnp.float32))[..., None]
+    return jnp.concatenate([pan, hum, face, edges], axis=-1)
+
+
+BoxLike = Union[Sequence[float], np.ndarray]
+
+
+def sanitize_bboxes(boxes: Sequence[BoxLike], frame: int = 512,
+                    min_side: int = 16) -> List[List[float]]:
+    """Clamp pascal_voc boxes to [0, frame-1]; drop empty / tiny boxes
+    (reference ``Data/utils.py:1-27``; note the reference clamps to 511
+    regardless of crop size — here the frame is a parameter)."""
+    out: List[List[float]] = []
+    for box in boxes:
+        x0, y0, x1, y1 = [float(v) for v in box[:4]]
+        x0, y0 = max(x0, 0.0), max(y0, 0.0)
+        x1, y1 = min(x1, frame - 1.0), min(y1, frame - 1.0)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        if (x1 - x0) < min_side or (y1 - y0) < min_side:
+            continue
+        out.append([x0, y0, x1, y1])
+    return out
+
+
+def pad_boxes(boxes: Sequence[BoxLike], max_boxes: int) -> np.ndarray:
+    """Ragged box list -> fixed [max_boxes, 4] float32; zero rows = invalid
+    (the jit-native ragged convention used by the losses)."""
+    arr = np.zeros((max_boxes, 4), np.float32)
+    for i, box in enumerate(boxes[:max_boxes]):
+        arr[i] = np.asarray(box[:4], np.float32)
+    return arr

@@ -62,40 +62,67 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
+    """Split into ``trunk`` (everything up to norm_out) and ``final`` (the
+    last conv) so the VQGAN adaptive GAN weight can take gradients w.r.t.
+    the final kernel alone — the reference passes
+    ``model.module.decoder.model[-1]`` as ``last_layer`` into
+    ``calculate_adaptive_weight`` (``train.py:96``, ``loss_img.py:56-65``).
+    Param names are identical to the previous compact layout."""
+
     cfg: VQModelConfig
 
-    @nn.compact
-    def __call__(self, z, deterministic: bool = True):
+    def setup(self):
         cfg = self.cfg
         dt = _dtype(cfg)
         ch_mult = cfg.channels[1:]
         n_stages = len(ch_mult)
         block_in = ch_mult[-1]
+
+        self.conv_in = conv(block_in, name="conv_in", dtype=dt)
+        self.mid_block_1 = ResnetBlock(block_in, dropout=cfg.dropout,
+                                       dtype=dt, name="mid_block_1")
+        self.mid_attn = AttnBlock(dtype=dt, name="mid_attn")
+        self.mid_block_2 = ResnetBlock(block_in, dropout=cfg.dropout,
+                                       dtype=dt, name="mid_block_2")
+
+        # (stage index, blocks, attns-or-None, upsample-or-None), in run order
+        stages = []
         res = cfg.resolution // 2 ** (n_stages - 1)
-
-        h = conv(block_in, name="conv_in", dtype=dt)(z)
-        h = ResnetBlock(block_in, dropout=cfg.dropout, dtype=dt,
-                        name="mid_block_1")(h, deterministic)
-        h = AttnBlock(dtype=dt, name="mid_attn")(h)
-        h = ResnetBlock(block_in, dropout=cfg.dropout, dtype=dt,
-                        name="mid_block_2")(h, deterministic)
-
         for i in reversed(range(n_stages)):
             block_out = ch_mult[i]
-            for j in range(cfg.num_res_blocks + 1):
-                h = ResnetBlock(block_out, dropout=cfg.dropout, dtype=dt,
-                                name=f"up_{i}_block_{j}")(h, deterministic)
-                if res in cfg.attn_resolutions:
-                    h = AttnBlock(dtype=dt, name=f"up_{i}_attn_{j}")(h)
-            if i > 0:
-                h = Upsample(dtype=dt, name=f"up_{i}_upsample")(h)
+            blocks = [ResnetBlock(block_out, dropout=cfg.dropout, dtype=dt,
+                                  name=f"up_{i}_block_{j}")
+                      for j in range(cfg.num_res_blocks + 1)]
+            attns = ([AttnBlock(dtype=dt, name=f"up_{i}_attn_{j}")
+                      for j in range(cfg.num_res_blocks + 1)]
+                     if res in cfg.attn_resolutions else None)
+            ups = (Upsample(dtype=dt, name=f"up_{i}_upsample")
+                   if i > 0 else None)
+            stages.append((blocks, attns, ups))
             res *= 2
+        self.stages = stages
+        self.norm_out = GroupNormSwish(name="norm_out")
+        self.conv_out = conv(cfg.out_channels, name="conv_out", dtype=dt)
 
-        h = GroupNormSwish(name="norm_out")(h)
-        # final conv = the reference's `decoder.model[-1]`, the leaf used for
-        # the adaptive GAN weight (train.py:96, loss_img.py:56-65)
-        h = conv(cfg.out_channels, name="conv_out", dtype=dt)(h)
-        return h.astype(jnp.float32)
+    def trunk(self, z, deterministic: bool = True):
+        h = self.conv_in(z)
+        h = self.mid_block_1(h, deterministic)
+        h = self.mid_attn(h)
+        h = self.mid_block_2(h, deterministic)
+        for blocks, attns, ups in self.stages:
+            for j, block in enumerate(blocks):
+                h = block(h, deterministic)
+                if attns is not None:
+                    h = attns[j](h)
+            if ups is not None:
+                h = ups(h)
+        return self.norm_out(h)
+
+    def final(self, h):
+        return self.conv_out(h).astype(jnp.float32)
+
+    def __call__(self, z, deterministic: bool = True):
+        return self.final(self.trunk(z, deterministic))
 
 
 class VQModel(nn.Module):
@@ -130,6 +157,16 @@ class VQModel(nn.Module):
         """quantized latent -> reconstruction."""
         h = self.post_quant_conv(z_q)
         return self.decoder(h)
+
+    def decode_trunk(self, z_q):
+        """quantized latent -> pre-final-conv activations (for the VQGAN
+        adaptive GAN weight; see ``Decoder``)."""
+        h = self.post_quant_conv(z_q)
+        return self.decoder.trunk(h)
+
+    def decode_final(self, h):
+        """pre-final activations -> reconstruction (final conv only)."""
+        return self.decoder.final(h)
 
     def encode(self, x) -> Tuple[jax.Array, jax.Array]:
         """eval-mode encode: returns (z_q, indices)  [vqvae.py:20-24]."""

@@ -58,9 +58,10 @@ def create_vq_train_state(model, cfg: VQModelConfig, tx, rng,
             disc_rng if disc_rng is not None else rng,
             jnp.zeros((1, cfg.resolution, cfg.resolution, 3), jnp.float32),
             train=False)
-        disc_params = dvars
+        disc_params = {"params": dvars["params"],
+                       "batch_stats": dvars.get("batch_stats", {})}
         if disc_tx is not None:
-            disc_opt_state = disc_tx.init(disc_params)
+            disc_opt_state = disc_tx.init(disc_params["params"])
     return VQTrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -76,6 +76,136 @@ def make_seg_train_step(model: VQModel, tx,
     return step
 
 
+def make_img_train_step(model: VQModel, disc, tx, disc_tx,
+                        loss_cfg, lpips_model, face_model=None,
+                        vq_impl: str = "auto") -> Callable:
+    """VQ-IMG (VQGAN) dual-optimizer step (reference ``train.py:80-103``).
+
+    One jitted step runs BOTH optimizer indices of the reference loop:
+    the generator update (L1 + object-aware LPIPS + face loss + adaptive-
+    weighted GAN term + codebook loss) and the discriminator hinge update —
+    the autoencoder forward happens once, its reconstruction feeds both.
+
+    Signature: ``step(state, batch, frozen, rng) -> (state, metrics)`` with
+      batch  = dict(image [B,H,W,3], bbox_obj [B,M,4], bbox_face [B,M,4])
+      frozen = dict(lpips=<variables>, face=<variables or absent>)
+    ``frozen`` towers are step *arguments* (not closure constants) so the
+    jitted executable doesn't embed the VGG16/ResNet50 weights.
+    """
+    from ..losses.vqgan import (PerceptualFns, discriminator_step_loss,
+                                generator_step_loss)
+
+    cb_cfg = model.cfg.codebook
+    use_face = face_model is not None and loss_cfg.face_loss
+
+    def g_loss_fn(params, batch_stats, vq_state, disc_vars, frozen, batch,
+                  rng, step_no):
+        images = batch["image"]
+        z, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, method=VQModel.encode_latent,
+            mutable=["batch_stats"])
+        z_q, q_loss, idx, vq_state, emb_wb, trig = quantize_train(
+            z, params[EMBED_KEY], vq_state, cb_cfg, rng, impl=vq_impl)
+        trunk_h = model.apply({"params": params}, z_q,
+                              method=VQModel.decode_trunk)
+        recon = model.apply({"params": params}, trunk_h,
+                            method=VQModel.decode_final)
+
+        def apply_final(kernel, h):
+            # full tree with the kernel substituted (setup materializes all
+            # params even though decode_final only reads conv_out)
+            p2 = dict(params)
+            p2["decoder"] = dict(params["decoder"])
+            p2["decoder"]["conv_out"] = {
+                **params["decoder"]["conv_out"], "kernel": kernel}
+            return model.apply({"params": p2}, h,
+                               method=VQModel.decode_final)
+
+        def disc_fwd(x):
+            # D frozen for the G step (reference change_requires_grad,
+            # train.py:92); batch-mode stats, updates discarded.
+            out, _ = disc.apply(
+                jax.lax.stop_gradient(disc_vars), x, train=True,
+                mutable=["batch_stats"])
+            return out
+
+        fns = PerceptualFns(
+            lpips=lambda r, f: lpips_model.apply(frozen["lpips"], r, f),
+            disc=disc_fwd,
+            facenet=(lambda x: face_model.apply(frozen["face"], x))
+            if use_face else None)
+
+        m = generator_step_loss(
+            fns, loss_cfg, images, recon, q_loss, step_no,
+            batch["bbox_obj"], batch["bbox_face"], trunk_h,
+            params["decoder"]["conv_out"]["kernel"], apply_final)
+        aux = dict(metrics=m, q_loss=q_loss, recon=recon, indices=idx,
+                   batch_stats=updates["batch_stats"], vq_state=vq_state,
+                   emb_writeback=emb_wb, kmeans_triggered=trig)
+        return m["loss"], aux
+
+    def d_loss_fn(disc_params, disc_stats, images, recon, step_no):
+        stats = disc_stats
+
+        def fwd(x):
+            nonlocal stats
+            out, upd = disc.apply(
+                {"params": disc_params, "batch_stats": stats}, x,
+                train=True, mutable=["batch_stats"])
+            stats = upd["batch_stats"]
+            return out
+
+        m = discriminator_step_loss(fwd, loss_cfg, images, recon, step_no)
+        return m["loss"], (m, stats)
+
+    @jax.jit
+    def step(state: VQTrainState, batch, frozen, rng):
+        disc_vars = {"params": state.disc_params["params"],
+                     "batch_stats": state.disc_params["batch_stats"]}
+
+        # --- generator update ----------------------------------------------
+        (_, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.params, state.batch_stats, state.vq_state, disc_vars,
+            frozen, batch, rng, state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = _writeback_embedding(params, aux["emb_writeback"],
+                                      aux["kmeans_triggered"])
+
+        # --- discriminator update ------------------------------------------
+        recon_sg = jax.lax.stop_gradient(aux["recon"])
+        (_, (d_metrics, disc_stats)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(
+            disc_vars["params"], disc_vars["batch_stats"], batch["image"],
+            recon_sg, state.step)
+        d_updates, disc_opt_state = disc_tx.update(
+            d_grads, state.disc_opt_state, disc_vars["params"])
+        disc_params = optax.apply_updates(disc_vars["params"], d_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=aux["batch_stats"],
+            vq_state=aux["vq_state"],
+            opt_state=opt_state,
+            disc_params={"params": disc_params, "batch_stats": disc_stats},
+            disc_opt_state=disc_opt_state,
+        )
+        g_m = aux["metrics"]
+        metrics = dict(
+            loss=g_m["loss"], nll_loss=g_m["nll_loss"],
+            g_loss=g_m["g_loss"], face_loss=g_m["face_loss"],
+            d_weight=g_m["d_weight"], disc_factor=g_m["disc_factor"],
+            q_loss=aux["q_loss"], d_loss=d_metrics["loss"],
+            logits_real=d_metrics["logits_real"],
+            logits_fake=d_metrics["logits_fake"],
+            kmeans_triggered=aux["kmeans_triggered"])
+        return new_state, metrics
+
+    return step
+
+
 def make_transformer_train_step(model, tx, uncond_p: float = 0.1,
                                 start_uncond: int = 0) -> Callable:
     """Stage-2 AR training step (reference ``train.py:136-161``).

@@ -8,4 +8,10 @@ from .config import (
     TrainConfig,
     MeshConfig,
     ConfigError,
+    vq_seg_config,
+    vq_img_config,
 )
+from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .logging import Logger, Visualizer, make_grid, save_image
+from .torch_import import (convert_transformer_state, convert_vqbase_state,
+                           load_torch_checkpoint)

@@ -1,0 +1,177 @@
+"""Data subsystem: seg-map assembly, bbox sanitation, tar streaming,
+web dataset processing, collate (SURVEY §2.3 parity)."""
+
+import io
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from mas_tpu.data.dataset import (PreprocessedWebDataset, SyntheticImgBatches,
+                                  SyntheticSegBatches, SyntheticTokenBatches,
+                                  batch_iterator, collate, decode_jpg,
+                                  smallest_max_size)
+from mas_tpu.data.segmap import (EDGE_CHANNEL, FACE_SLICE, HUMAN_SLICE,
+                                 NUM_SEG_CHANNELS, PANOPTIC_SLICE,
+                                 assemble_seg_map, one_hot_seg, pad_boxes,
+                                 sanitize_bboxes)
+from mas_tpu.data.tario import iter_tar_samples, shard_split
+
+
+def test_seg_map_channel_layout():
+    h = w = 4
+    pan = np.full((h, w), -1, np.int64)
+    pan[0, 0] = 0       # panoptic class 0 -> channel 0
+    pan[1, 1] = 132     # last panoptic class -> channel 132
+    hum = np.full((h, w), -1, np.int64)
+    hum[2, 2] = 0       # human class 0 -> channel 133
+    face = np.zeros((h, w), np.int64)
+    face[3, 3] = 5      # face class 5 -> channel 157
+    edge_p = np.zeros((h, w)); edge_p[0, 1] = 1
+    edge_h = np.zeros((h, w)); edge_h[0, 1] = 1
+
+    m = assemble_seg_map(pan, edge_p, hum, edge_h, face)
+    assert m.shape == (h, w, NUM_SEG_CHANNELS)
+    assert m[0, 0, 0] == 1 and m[1, 1, 132] == 1
+    assert m[2, 2, 133] == 1
+    assert m[3, 3, 157] == 1
+    # unlabeled pixels -> all-zero in their group
+    assert m[0, 1, PANOPTIC_SLICE].sum() == 0
+    assert m[0, 0, HUMAN_SLICE].sum() == 0
+    assert m[0, 0, FACE_SLICE].sum() == 0
+    # edge = sum of the two maps (reference keeps the 2.0)
+    assert m[0, 1, EDGE_CHANNEL] == 2.0
+
+
+def test_one_hot_seg_matches_numpy():
+    rng = np.random.default_rng(0)
+    pan = rng.integers(-1, 133, (8, 8))
+    hum = rng.integers(-1, 20, (8, 8))
+    face = rng.integers(0, 6, (8, 8))
+    ep = rng.integers(0, 2, (8, 8))
+    eh = rng.integers(0, 2, (8, 8))
+    a = assemble_seg_map(pan, ep, hum, eh, face)
+    b = np.asarray(one_hot_seg(pan, ep, hum, eh, face))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sanitize_bboxes():
+    boxes = [
+        [-5, -5, 100, 100],     # clamps to 0
+        [10, 10, 20, 20],       # too small (<16) -> dropped
+        [500, 10, 600, 100],    # clamps right to 511, 11px wide -> dropped
+        [0, 0, 600, 600],       # clamps to frame
+        [50, 50, 40, 60],       # inverted -> dropped
+    ]
+    out = sanitize_bboxes(boxes, frame=512)
+    assert out == [[0.0, 0.0, 100.0, 100.0], [0.0, 0.0, 511.0, 511.0]]
+
+
+def test_pad_boxes():
+    arr = pad_boxes([[1, 2, 3, 4], [5, 6, 7, 8], [9, 9, 9, 9]], 2)
+    assert arr.shape == (2, 4)
+    np.testing.assert_array_equal(arr[0], [1, 2, 3, 4])
+
+
+def _write_sample_tar(path, n_samples=3, res=64):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    with tarfile.open(path, "w") as tf:
+        for i in range(n_samples):
+            key = f"{i:06d}"
+
+            img = (rng.random((res + 10, res, 3)) * 255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, "JPEG")
+            _add(tf, f"{key}.jpg", buf.getvalue())
+
+            npz_buf = io.BytesIO()
+            np.savez(
+                npz_buf,
+                seg_panoptic=rng.integers(-1, 133, (res, res)),
+                edge_panoptic=rng.integers(0, 2, (res, res)),
+                seg_human=rng.integers(-1, 20, (res, res)),
+                edge_human=rng.integers(0, 2, (res, res)),
+                seg_face=rng.integers(0, 6, (res, res)),
+                box_things=np.array([[2, 2, 40, 40]], np.float32),
+                box_face=np.zeros((0, 4), np.float32))
+            _add(tf, f"{key}.npz", npz_buf.getvalue())
+            _add(tf, f"{key}.txt", f"caption {i}".encode())
+
+
+def _add(tf, name, data):
+    info = tarfile.TarInfo(name)
+    info.size = len(data)
+    tf.addfile(info, io.BytesIO(data))
+
+
+def test_tar_streaming_groups_by_key(tmp_path):
+    tar = str(tmp_path / "shard0.tar")
+    _write_sample_tar(tar)
+    samples = list(iter_tar_samples(tar))
+    assert len(samples) == 3
+    assert set(samples[0]) >= {"jpg", "npz", "txt", "__key__"}
+    assert samples[1]["__key__"] == "000001"
+
+
+def test_shard_split_partitions_exactly():
+    shards = [f"s{i}" for i in range(13)]
+    seen = []
+    for p in range(2):
+        for w in range(3):
+            seen += shard_split(shards, p, 2, worker=w, num_workers=3)
+    assert sorted(seen) == sorted(shards)
+
+
+def test_web_dataset_end_to_end(tmp_path):
+    tar = str(tmp_path / "shard0.tar")
+    _write_sample_tar(tar, res=64)
+    ds = PreprocessedWebDataset(tar, resolution=64)
+    samples = list(ds)
+    assert len(samples) == 3
+    s = samples[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert s["mask"].shape == (64, 64, NUM_SEG_CHANNELS)
+    assert s["caption"] == "caption 0"
+    assert all(len(b) == 4 for b in s["box_things"])
+
+    batch = collate(samples[:2], max_boxes=4)
+    assert batch["image"].shape == (2, 64, 64, 3)
+    assert batch["mask"].shape == (2, 64, 64, NUM_SEG_CHANNELS)
+    assert batch["bbox_obj"].shape == (2, 4, 4)
+
+
+def test_pipe_url_streaming(tmp_path):
+    tar = str(tmp_path / "shard0.tar")
+    _write_sample_tar(tar)
+    samples = list(iter_tar_samples(f"pipe:cat {tar}"))
+    assert len(samples) == 3
+
+
+def test_synthetic_batches():
+    seg = next(iter(SyntheticSegBatches(2, resolution=32)))
+    assert seg["mask"].shape == (2, 32, 32, NUM_SEG_CHANNELS)
+    # one-hot-ish: per-group sums <= 1
+    assert seg["mask"][..., :133].sum(-1).max() <= 1
+
+    img = next(iter(SyntheticImgBatches(2, resolution=64, max_boxes=3)))
+    assert img["image"].shape == (2, 64, 64, 3)
+    assert img["bbox_obj"].shape == (2, 3, 4)
+
+    from mas_tpu.utils.config import TransformerConfig
+    cfg = TransformerConfig(image_tokens_per_dim=4, seg_tokens_per_dim=2,
+                            text_length=8, text_vocab_size=64,
+                            hidden_dim=64, num_attn_heads=4)
+    tok = next(iter(SyntheticTokenBatches(2, cfg)))
+    assert tok["text"].shape == (2, 8)
+    assert tok["seg"].shape == (2, 4)
+    assert tok["image"].shape == (2, 16)
+    assert tok["image"].max() < cfg.image_vocab_size
+
+
+def test_batch_iterator_drops_last():
+    ds = [dict(image=np.zeros((8, 8, 3), np.float32)) for _ in range(5)]
+    batches = list(batch_iterator(ds, 2, need_seg=False))
+    assert len(batches) == 2

@@ -1,0 +1,174 @@
+"""Orchestration: training loops end-to-end on tiny configs, preprocessor
+fan-out + repack, CLI dispatch (SURVEY §2.4, §3.4 parity)."""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from mas_tpu.data.preprocess import (SyntheticAnnotator, preprocess_local,
+                                     preprocess_web)
+from mas_tpu.utils.config import (CodebookConfig, OptimizerConfig,
+                                  SegLossConfig, TrainConfig, VQModelConfig)
+
+
+def _tiny_seg_cfg(tmp):
+    train = TrainConfig(mode="pretrain_segmentation", total_steps=3,
+                        batch_size=2, log_period=1, save_period=3,
+                        checkpoint_dir=str(tmp / "ckpt"),
+                        optimizer=OptimizerConfig(lr=1e-3))
+    model = VQModelConfig(
+        in_channels=159, out_channels=159, resolution=32,
+        channels=(32, 32), num_res_blocks=1, attn_resolutions=(),
+        z_channels=32, embed_dim=32,
+        codebook=CodebookConfig(codebook_size=16, codebook_dim=32,
+                                init_steps=1, reservoir_size=64,
+                                samples_per_image=2))
+    return train, model
+
+
+def test_run_pretrain_segmentation_loop(tmp_path):
+    from mas_tpu.data.dataset import SyntheticSegBatches
+    from mas_tpu.train.loop import run_pretrain_segmentation
+    from mas_tpu.utils.checkpoint import latest_step
+    from mas_tpu.utils.logging import Logger
+
+    train, model = _tiny_seg_cfg(tmp_path)
+    batches = iter(SyntheticSegBatches(2, resolution=32))
+    logger = Logger(str(tmp_path / "logs"), use_tensorboard=False)
+    state = run_pretrain_segmentation(train, model, batches, logger=logger)
+    assert int(state.step) == 3
+    assert latest_step(str(tmp_path / "ckpt")) == 3
+    # resume continues from the checkpoint
+    train2 = train.replace(resume=True, total_steps=5)
+    state2 = run_pretrain_segmentation(train2, model, batches, logger=logger)
+    assert int(state2.step) == 5
+
+
+def test_run_transformer_loop(tmp_path):
+    from mas_tpu.data.dataset import SyntheticTokenBatches
+    from mas_tpu.train.loop import run_train_transformer
+    from mas_tpu.utils.config import TransformerConfig
+    from mas_tpu.utils.logging import Logger
+
+    tcfg = TransformerConfig(num_layers=1, hidden_dim=64, num_attn_heads=4,
+                             image_vocab_size=32, seg_vocab_size=16,
+                             text_vocab_size=64, image_tokens_per_dim=2,
+                             seg_tokens_per_dim=2, text_length=4)
+    train = TrainConfig(mode="train_transformer", total_steps=2,
+                        batch_size=2, log_period=1, save_period=10,
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        optimizer=OptimizerConfig(lr=1e-3))
+    state = run_train_transformer(
+        train, tcfg, iter(SyntheticTokenBatches(2, tcfg)),
+        logger=Logger(str(tmp_path / "logs"), use_tensorboard=False))
+    assert int(state.step) == 2
+
+
+def _write_raw_tar(path, n=2, res=32):
+    from PIL import Image
+
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            key = f"{i:05d}"
+            buf = io.BytesIO()
+            Image.fromarray(
+                (np.random.default_rng(i).random((res, res, 3)) * 255
+                 ).astype(np.uint8)).save(buf, "JPEG")
+            for name, data in ((f"{key}.jpg", buf.getvalue()),
+                               (f"{key}.txt", f"cap {i}".encode())):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+
+def test_preprocess_web_and_consume(tmp_path):
+    """Raw tar -> annotate -> repack -> PreprocessedWebDataset round trip:
+    the full data factory path (SURVEY §3.4)."""
+    raw = str(tmp_path / "raw.tar")
+    _write_raw_tar(raw)
+    anns = {k: SyntheticAnnotator(k) for k in ("panoptic", "human", "face")}
+    outs = preprocess_web(raw, str(tmp_path / "out"), anns)
+    assert len(outs) == 1 and os.path.exists(outs[0])
+
+    from mas_tpu.data.dataset import PreprocessedWebDataset
+    samples = list(PreprocessedWebDataset(outs[0], resolution=32))
+    assert len(samples) == 2
+    assert samples[0]["mask"].shape == (32, 32, 159)
+    assert samples[0]["caption"].startswith("cap")
+    # info.state progress file written
+    assert os.path.exists(tmp_path / "out" / "info.state")
+
+
+def test_preprocess_local(tmp_path):
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(3):
+        Image.fromarray((np.random.default_rng(i).random((16, 16, 3)) * 255
+                         ).astype(np.uint8)).save(img_dir / f"im{i}.jpg")
+    out = tmp_path / "pre"
+    anns = {k: SyntheticAnnotator(k) for k in ("panoptic", "human", "face")}
+    preprocess_local([str(img_dir / f"im{i}.jpg") for i in range(3)],
+                     str(out), anns, workers_per_annotator=2)
+    files = sorted(os.listdir(out))
+    assert len(files) == 9            # 3 images x 3 annotators
+    z = np.load(out / "im0_panoptic.npz")
+    assert "seg_panoptic" in z and "box_things" in z
+
+
+def test_cli_seg_smoke(tmp_path):
+    from mas_tpu.cli import main
+
+    cfg = {
+        "train": {"mode": "pretrain_segmentation", "total_steps": 1,
+                  "batch_size": 2, "log_period": 1, "save_period": 1,
+                  "checkpoint_dir": str(tmp_path / "ckpt"),
+                  "optimizer": {"lr": 1e-3}},
+        "model": {"in_channels": 159, "out_channels": 159, "resolution": 32,
+                  "channels": [32, 32], "num_res_blocks": 1,
+                  "attn_resolutions": [],
+                  "z_channels": 32, "embed_dim": 32,
+                  "codebook": {"codebook_size": 16, "codebook_dim": 32,
+                               "init_steps": 1, "reservoir_size": 64}},
+        "loss": {"image_channels": 159},
+        "data": {"kind": "synthetic", "resolution": 32},
+    }
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    assert main(["--config", str(path)]) == 0
+    assert os.path.exists(tmp_path / "ckpt" / "latest")
+
+
+def test_cli_rejects_unknown_keys(tmp_path):
+    from mas_tpu.cli import main
+    from mas_tpu.utils.config import ConfigError
+
+    cfg = {"train": {"mode": "pretrain_segmentation", "bogus_key": 1}}
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    with pytest.raises(ConfigError):
+        main(["--config", str(path)])
+
+
+def test_shipped_configs_parse():
+    import glob
+
+    from mas_tpu.utils.config import (TrainConfig, TransformerConfig,
+                                      VQModelConfig)
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    found = sorted(glob.glob(os.path.join(root, "*.json")))
+    assert found, "configs/ must ship run configs"
+    for p in found:
+        with open(p) as f:
+            raw = json.load(f)
+        TrainConfig.from_dict(raw.get("train", {}))
+        if "model" in raw:
+            VQModelConfig.from_dict(raw["model"])
+        if "transformer" in raw:
+            TransformerConfig.from_dict(raw["transformer"])
