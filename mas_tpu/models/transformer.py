@@ -32,12 +32,26 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.attention import (DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q,
+                             prefix_causal_attention)
 from ..ops.norms import layer_norm
 from ..utils.config import TransformerConfig
 
 Cache = Dict[str, jax.Array]
 
 _INIT = nn.initializers.normal(stddev=0.02)
+
+
+def resolve_attention_impl(cfg: TransformerConfig, seq_len: int) -> str:
+    """'auto' -> pallas flash kernel on TPU when the sequence tiles onto the
+    kernel's blocks, jnp otherwise."""
+    impl = cfg.attention_impl
+    if impl != "auto":
+        return impl
+    divisible = (seq_len % DEFAULT_BLOCK_Q == 0
+                 and seq_len % DEFAULT_BLOCK_K == 0)
+    return "pallas" if jax.default_backend() == "tpu" and divisible \
+        else "jnp"
 
 
 def _gelu(x):
@@ -91,13 +105,22 @@ class SelfAttention(nn.Module):
         q, k, v = jnp.split(self.qkv(x), 3, axis=-1)
         return self._heads(q), self._heads(k), self._heads(v)
 
-    def __call__(self, x, mask, return_kv: bool = False):
+    def __call__(self, x, mask, return_kv: bool = False,
+                 prefix_length: Optional[int] = None):
+        """``prefix_length`` set => the mask is the canonical
+        prefix-bidirectional-causal one and the fused flash kernel may be
+        used; ``mask`` is then only consulted by the jnp fallback."""
         cfg = self.cfg
         b, tq, _ = x.shape
         q, k, v = self._qkv(x)
-        ctx = pb_relax_attention(q, k, v, mask,
-                                 alpha=cfg.pb_relax_alpha,
-                                 pb_relax=cfg.cogview_pb_relax)
+        impl = (resolve_attention_impl(cfg, tq)
+                if prefix_length is not None else "jnp")
+        if impl != "jnp" and prefix_length is not None:
+            ctx = prefix_causal_attention(q, k, v, prefix_length, impl=impl)
+        else:
+            ctx = pb_relax_attention(q, k, v, mask,
+                                     alpha=cfg.pb_relax_alpha,
+                                     pb_relax=cfg.cogview_pb_relax)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tq, cfg.hidden_dim)
         out = self.out_proj(ctx)
         if return_kv:
@@ -182,12 +205,15 @@ class TransformerLayer(nn.Module):
             m = self.second_ln_sandwich(m)
         return x + m
 
-    def __call__(self, x, mask, return_kv: bool = False):
+    def __call__(self, x, mask, return_kv: bool = False,
+                 prefix_length: Optional[int] = None):
         h = self.ln_in(x)
         if return_kv:
-            a, kv = self.attn(h, mask, return_kv=True)
+            a, kv = self.attn(h, mask, return_kv=True,
+                              prefix_length=prefix_length)
             return self._post_attn(x, a), kv
-        return self._post_attn(x, self.attn(h, mask))
+        return self._post_attn(
+            x, self.attn(h, mask, prefix_length=prefix_length))
 
     def decode(self, x, mask, k_cache, v_cache, index):
         a, (k_cache, v_cache) = self.attn.decode(
@@ -267,9 +293,9 @@ class MakeAScene(nn.Module):
 
     # --- core stacks --------------------------------------------------------
 
-    def backbone(self, x, mask):
+    def backbone(self, x, mask, prefix_length: Optional[int] = None):
         for layer in self.layers:
-            x = layer(x, mask)
+            x = layer(x, mask, prefix_length=prefix_length)
         return self.final_ln(x)
 
     def to_logits(self, x):
@@ -282,9 +308,12 @@ class MakeAScene(nn.Module):
             [self.embed_prefix(text_tokens, seg_tokens),
              self.embed_image(img_tokens)], axis=1)
         t = emb.shape[1]
-        pos = jnp.arange(t)
-        mask = prefix_causal_mask(pos, pos, cfg.prefix_length)
-        h = self.backbone(emb, mask)
+        if resolve_attention_impl(cfg, t) == "jnp":
+            pos = jnp.arange(t)
+            mask = prefix_causal_mask(pos, pos, cfg.prefix_length)
+        else:
+            mask = None     # fused kernel derives the mask from indices
+        h = self.backbone(emb, mask, prefix_length=cfg.prefix_length)
         logits = self.to_logits(h)
         # predictions for image positions: shift by one (transformer.py:378)
         return logits[:, -cfg.image_length - 1:-1, :]
@@ -307,11 +336,15 @@ class MakeAScene(nn.Module):
         """
         cfg = self.cfg
         emb = self.embed_prefix(text_tokens, seg_tokens)
-        mask = jnp.ones((cfg.prefix_length, cfg.prefix_length), bool)
+        if resolve_attention_impl(cfg, cfg.prefix_length) == "jnp":
+            mask = jnp.ones((cfg.prefix_length, cfg.prefix_length), bool)
+        else:
+            mask = None   # all positions < prefix_length: fully visible
         caches = []
         x = emb
         for layer in self.layers:
-            x, kv = layer(x, mask, return_kv=True)
+            x, kv = layer(x, mask, return_kv=True,
+                          prefix_length=cfg.prefix_length)
             caches.append(kv)
         h = self.final_ln(x[:, -1:, :])
         logits = self.to_logits(h)[:, 0]

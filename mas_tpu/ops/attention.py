@@ -1,0 +1,382 @@
+"""Fused blockwise (flash) attention for the MakeAScene transformer.
+
+The reference materializes full [T, T] score matrices per layer under a
+registered tril mask buffer (``/root/reference/models/transformer.py:57,
+246-251``) — at T=1408, H=16 that is ~0.5 GB of fp32 score traffic per
+layer per direction.  This kernel computes softmax(QK^T)V blockwise with
+the standard running-max/denominator recurrence, so scores never leave
+VMEM: HBM traffic drops from O(T^2) to O(T * d).
+
+Numerics: CogView PB-relax (``transformer.py:44-71``) subtracts an
+alpha-scaled global max — a per-row-constant shift that softmax cancels
+exactly, which is what the flash running row-max performs implicitly; so
+this kernel IS the PB-relax path, stabilized per-row instead of globally
+(documented deviation, bit-compatible in fp32 up to reassociation).
+
+Mask: the Make-A-Scene prefix-bidirectional causal mask
+(``transformer.py:366-370``): position j visible from i iff ``j <= i`` OR
+both i, j < prefix_length.  Computed closed-form from block indices —
+never materialized in HBM.
+
+Training gradients: ``flash_attention`` carries a ``jax.custom_vjp`` whose
+backward is two more Pallas kernels (dKV and dQ passes) using the saved
+(out, logsumexp) residuals — the standard flash backward split so each
+pass keeps a single accumulator in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+_NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# reference jnp implementation (tests + CPU fallback)
+# ---------------------------------------------------------------------------
+
+def prefix_causal_attention_jnp(q, k, v, prefix_length: int):
+    """q,k,v [B, H, T, d] -> [B, H, T, d]; fp32 softmax."""
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    tq, tk = q.shape[2], k.shape[2]
+    qpos = jnp.arange(tq)[:, None]
+    kpos = jnp.arange(tk)[None, :]
+    mask = (kpos <= qpos) | ((qpos < prefix_length) & (kpos < prefix_length))
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _mask_tile(qi, kj, blk_q, blk_k, prefix_length):
+    """Boolean [blk_q, blk_k] visibility tile for q-block qi, k-block kj."""
+    qpos = qi * blk_q + jax.lax.broadcasted_iota(
+        jnp.int32, (blk_q, blk_k), 0)
+    kpos = kj * blk_k + jax.lax.broadcasted_iota(
+        jnp.int32, (blk_q, blk_k), 1)
+    return (kpos <= qpos) | ((qpos < prefix_length) & (kpos < prefix_length))
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk_q, blk_k,
+                prefix_length, t_kv, scale):
+    from jax.experimental import pallas as pl
+
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale            # [blk_q, d]
+    nk = t_kv // blk_k
+
+    def body(kj, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(kj * blk_k, blk_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kj * blk_k, blk_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_q, blk_k]
+        mask = _mask_tile(qi, kj, blk_q, blk_k, prefix_length)
+        s = jnp.where(mask, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l
+
+    # skip k-blocks that are fully masked: block kj is visible from q-block
+    # qi iff kj*blk_k <= qi*blk_q + blk_q - 1 or both inside the prefix.
+    # The prefix block boundary: ceil(prefix/blk_k). Upper bound for the
+    # loop = max(causal bound, prefix bound when this q-block intersects
+    # the prefix).
+    causal_hi = jnp.minimum((qi * blk_q + blk_q - 1) // blk_k + 1, nk)
+    prefix_hi = jnp.where(qi * blk_q < prefix_length,
+                          (prefix_length + blk_k - 1) // blk_k, 0)
+    hi = jnp.maximum(causal_hi, prefix_hi)
+
+    acc0 = jnp.zeros((blk_q, q_ref.shape[-1]), jnp.float32)
+    m0 = jnp.full((blk_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((blk_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, hi, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "prefix_length", "blk_q", "blk_k", "interpret"))
+def _flash_fwd(q, k, v, prefix_length: int, blk_q: int, blk_k: int,
+               interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, t, d = q.shape
+    assert t % blk_q == 0 and t % blk_k == 0, (t, blk_q, blk_k)
+    bh = b * h
+    qf = q.reshape(bh, t, d)
+    kf = k.reshape(bh, t, d)
+    vf = v.reshape(bh, t, d)
+    scale = 1.0 / math.sqrt(d)
+
+    kernel = functools.partial(
+        _fwd_kernel, blk_q=blk_q, blk_k=blk_k,
+        prefix_length=prefix_length, t_kv=t, scale=scale)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, t // blk_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            # [bh, 1, t]: lane-major so (1, 1, blk_q) blocks tile legally
+            # (Mosaic needs the last two block dims (8,128)-divisible or
+            # equal to the array dims)
+            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t * t * d, transcendentals=bh * t * t,
+            bytes_accessed=3 * bh * t * d * 4 + bh * t * d * 4),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, t, d), lse.reshape(b, h, t)
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                    dk_ref, dv_ref, *, blk_q, blk_k, prefix_length, t_q,
+                    scale):
+    """One k-block against all q-blocks: accumulate dK, dV."""
+    from jax.experimental import pallas as pl
+
+    kj = pl.program_id(1)
+    k = k_ref[0].astype(jnp.float32)                     # [blk_k, d]
+    v = v_ref[0].astype(jnp.float32)
+    nq = t_q // blk_q
+
+    def body(qi, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qi * blk_q, blk_q), :].astype(jnp.float32) * scale
+        do = do_ref[0, pl.ds(qi * blk_q, blk_q), :].astype(jnp.float32)
+        o = o_ref[0, pl.ds(qi * blk_q, blk_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qi * blk_q, blk_q)]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_q, blk_k]
+        mask = _mask_tile(qi, kj, blk_q, blk_k, prefix_length)
+        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+        # delta_i = sum_d do * o  (rowwise)
+        delta = jnp.sum(do * o, axis=1, keepdims=True)   # [blk_q, 1]
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_q, blk_k]
+        ds = p * (dp - delta)                            # [blk_q, blk_k]
+        dv = dv + jax.lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_k, d]
+        dk = dk + jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_k, d]
+        return dk, dv
+
+    # q-blocks that can see this k-block: qi*blk_q+blk_q-1 >= kj*blk_k,
+    # i.e. qi >= (kj*blk_k - blk_q + 1)/blk_q; prefix rows see all prefix
+    # k-blocks, so if this k-block intersects the prefix start from 0.
+    lo_causal = jnp.maximum((kj * blk_k) // blk_q, 0)
+    lo = jnp.where(kj * blk_k < prefix_length, 0, lo_causal)
+    d = q_ref.shape[-1]
+    dk0 = jnp.zeros((blk_k, d), jnp.float32)
+    dv0 = jnp.zeros((blk_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(lo, nq, body, (dk0, dv0))
+    # q was pre-scaled inside the body, so dk = ds^T (q*scale) is complete
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, *,
+                   blk_q, blk_k, prefix_length, t_kv, scale):
+    """One q-block against its visible k-blocks: dQ."""
+    from jax.experimental import pallas as pl
+
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale
+    do = do_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]
+    delta = jnp.sum(do * o, axis=1, keepdims=True)
+    nk = t_kv // blk_k
+
+    def body(kj, dq):
+        k = k_ref[0, pl.ds(kj * blk_k, blk_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kj * blk_k, blk_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mask = _mask_tile(qi, kj, blk_q, blk_k, prefix_length)
+        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    causal_hi = jnp.minimum((qi * blk_q + blk_q - 1) // blk_k + 1, nk)
+    prefix_hi = jnp.where(qi * blk_q < prefix_length,
+                          (prefix_length + blk_k - 1) // blk_k, 0)
+    hi = jnp.maximum(causal_hi, prefix_hi)
+    dq0 = jnp.zeros((blk_q, q_ref.shape[-1]), jnp.float32)
+    dq = jax.lax.fori_loop(0, hi, body, dq0)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "prefix_length", "blk_q", "blk_k", "interpret"))
+def _flash_bwd(q, k, v, out, lse, do, prefix_length: int, blk_q: int,
+               blk_k: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, t, d = q.shape
+    bh = b * h
+    rs = lambda x: x.reshape(bh, t, d)
+    qf, kf, vf, of, dof = rs(q), rs(k), rs(v), rs(out), rs(do)
+    lsef = lse.reshape(bh, 1, t)
+    scale = 1.0 / math.sqrt(d)
+
+    full = lambda: pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, blk_q=blk_q, blk_k=blk_k,
+        prefix_length=prefix_length, t_q=t, scale=scale)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, t // blk_k),
+        in_specs=[full(),
+                  pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+                  full(), full(), lse_spec],
+        out_specs=[pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, blk_k, d), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, t, d), q.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * t * t * d, transcendentals=bh * t * t,
+            bytes_accessed=6 * bh * t * d * 4),
+        interpret=interpret,
+    )(qf, kf, vf, dof, of, lsef)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, blk_q=blk_q, blk_k=blk_k,
+        prefix_length=prefix_length, t_kv=t, scale=scale)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, t // blk_q),
+        in_specs=[pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+                  full(), full(),
+                  pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, blk_q), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * bh * t * t * d, transcendentals=bh * t * t,
+            bytes_accessed=5 * bh * t * d * 4),
+        interpret=interpret,
+    )(qf, kf, vf, dof, of, lsef)
+
+    unrs = lambda x: x.reshape(b, h, t, d)
+    return unrs(dq), unrs(dk), unrs(dv)
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(q, k, v, prefix_length: int,
+                    blk_q: int = DEFAULT_BLOCK_Q,
+                    blk_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = False):
+    """Fused prefix-bidirectional-causal attention.
+
+    q, k, v: [B, H, T, d]; T must divide by the block sizes (the model's
+    1408 = 11 x 128 does).  Returns [B, H, T, d] in q's dtype.
+    """
+    out, _ = _flash_fwd(q, k, v, prefix_length, blk_q, blk_k, interpret)
+    return out
+
+
+def _fa_fwd(q, k, v, prefix_length, blk_q, blk_k, interpret):
+    out, lse = _flash_fwd(q, k, v, prefix_length, blk_q, blk_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _fa_bwd(prefix_length, blk_q, blk_k, interpret, res, g):
+    q, k, v, out, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, out, lse, g, prefix_length, blk_q,
+                            blk_k, interpret)
+    return dq, dk, dv
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def prefix_causal_attention(q, k, v, prefix_length: int,
+                            impl: str = "auto") -> jax.Array:
+    """Dispatch: pallas flash kernel on TPU, jnp elsewhere.
+
+    impl: 'auto' | 'jnp' | 'pallas' | 'pallas_interpret'.
+    """
+    if impl == "auto":
+        t = q.shape[2]
+        ok = (t % DEFAULT_BLOCK_Q == 0 and t % DEFAULT_BLOCK_K == 0)
+        impl = ("pallas" if jax.default_backend() == "tpu" and ok
+                else "jnp")
+    if impl == "jnp":
+        return prefix_causal_attention_jnp(q, k, v, prefix_length)
+    if impl == "pallas":
+        return flash_attention(q, k, v, prefix_length)
+    if impl == "pallas_interpret":
+        return flash_attention(q, k, v, prefix_length, interpret=True)
+    raise ValueError(f"unknown impl {impl!r}")
