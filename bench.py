@@ -42,10 +42,11 @@ def build_pipeline():
         num_layers=24, hidden_dim=1024, num_attn_heads=16,
         image_vocab_size=8192, seg_vocab_size=1024,
         text_vocab_size=16384 + 128,
-        image_tokens_per_dim=16, seg_tokens_per_dim=16, text_length=128)
+        image_tokens_per_dim=16, seg_tokens_per_dim=16, text_length=128,
+        compute_dtype="bfloat16")
     vcfg = VQModelConfig(
         in_channels=3, out_channels=3, resolution=256,
-        attn_resolutions=(16,),
+        attn_resolutions=(16,), compute_dtype="bfloat16",
         codebook=CodebookConfig(codebook_size=8192))
 
     transformer = MakeAScene(tcfg)
@@ -59,10 +60,14 @@ def build_pipeline():
     # throughput doesn't depend on weight values: fill from shapes (avoids
     # minutes of compiling the 337M-param init program)
     tshapes = jax.eval_shape(transformer.init, rng, text, seg, img)
-    tvars = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), tshapes)
+    # inference-time weights stored bf16: halves the HBM weight traffic
+    # that bounds AR decode (params are fp32 during training; a served
+    # checkpoint is cast once at load)
+    cast = lambda s: (jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype)
+    tvars = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, cast(s)), tshapes)
     vshapes = jax.eval_shape(vq.init, jax.random.PRNGKey(1),
                              jnp.zeros((1, 256, 256, 3), jnp.float32))
-    vvars = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), vshapes)
+    vvars = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, cast(s)), vshapes)
     log(f"init: {time.time() - t0:.1f}s "
         f"({sum(x.size for x in jax.tree.leaves(tvars)) / 1e6:.0f}M params)")
 

@@ -141,6 +141,19 @@ def main(argv=None) -> int:
     return 0
 
 
+def run(argv=None) -> int:
+    """main() with the reference's failure handling: append the traceback
+    to ``error.log`` and re-raise (``/root/reference/train.py:128-134``)."""
+    try:
+        return main(argv)
+    except Exception:
+        import traceback
+
+        with open("error.log", "a") as f:
+            f.write(traceback.format_exc() + "\n")
+        raise
+
+
 def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:
     """text+seg -> image sampling (the script the reference lacks)."""
     import jax
@@ -180,4 +193,4 @@ def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run())

@@ -215,6 +215,72 @@ def _resize_mask_nearest(mask: np.ndarray, size: int) -> np.ndarray:
     return mask[yi][:, xi]
 
 
+class URLImageDataset(PreprocessedLocalDataset):
+    """Conceptual-12M-style variant: images fetched by URL on first access,
+    cached to ``image_dir`` (reference ``Data/dataset_preprocessor.py:
+    169-185``, print-and-continue on failed downloads).  Manifest: a TSV of
+    ``url<TAB>caption`` lines (``:158-167``)."""
+
+    def __init__(self, manifest: str, image_dir: str, preprocessed_dir: str,
+                 resolution: int = 256, seed: int = 0):
+        self.urls = {}
+        with open(manifest) as f:
+            for line in f:
+                url, caption = line.split("\t", 1)
+                self.urls[caption.strip()] = url
+        os.makedirs(image_dir, exist_ok=True)
+        super().__init__(image_dir, preprocessed_dir, resolution, seed)
+
+    def _fetch(self, name: str) -> bool:
+        from urllib.request import urlretrieve
+
+        try:
+            urlretrieve(self.urls[name],
+                        os.path.join(self.image_dir, name + ".jpg"))
+            return True
+        except Exception as exn:                       # noqa: BLE001
+            print("Failed to download the image:", name, exn)
+            return False
+
+    def __getitem__(self, idx: int):
+        name = self.names[idx]
+        path = os.path.join(self.image_dir, name + ".jpg")
+        if not os.path.exists(path) and name in self.urls:
+            self._fetch(name)
+        return super().__getitem__(idx)
+
+
+class ConcatDataset:
+    """Concatenate map-style datasets (reference ``ConcatDataset``,
+    ``Data/dataset_preprocessor.py:188-200``)."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self.cumulative = []
+        total = 0
+        for d in self.datasets:
+            total += len(d)
+            self.cumulative.append(total)
+
+    def __len__(self) -> int:
+        return self.cumulative[-1] if self.cumulative else 0
+
+    def get_true_idx(self, idx: int):
+        import bisect
+
+        if idx < 0:
+            if -idx > len(self):
+                raise ValueError("index out of range")
+            idx += len(self)
+        di = bisect.bisect_right(self.cumulative, idx)
+        si = idx if di == 0 else idx - self.cumulative[di - 1]
+        return di, si
+
+    def __getitem__(self, idx: int):
+        di, si = self.get_true_idx(idx)
+        return self.datasets[di][si]
+
+
 # --------------------------------------------------------------------------
 # collate + batching
 # --------------------------------------------------------------------------

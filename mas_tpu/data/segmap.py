@@ -78,6 +78,24 @@ def one_hot_seg(seg_panoptic, edge_panoptic, seg_human, edge_human, seg_face):
     return jnp.concatenate([pan, hum, face, edges], axis=-1)
 
 
+def edges_from_instances(instance_map: np.ndarray) -> np.ndarray:
+    """Instance-id map [H, W] -> binary edge map (1 px boundaries).
+
+    Replaces the reference ``get_edges`` (``Data/preprocessors/
+    edge_extractor.py:7-17``, cv2 ``findContours`` + ``drawContours``
+    thickness 1) with a vectorized label-boundary detector: a pixel is an
+    edge iff any 4-neighbor carries a different instance id.  Same 1-px
+    boundary semantics, no cv2 dependency, and trivially jnp-portable.
+    """
+    m = np.asarray(instance_map)
+    edge = np.zeros(m.shape, bool)
+    edge[:-1, :] |= m[:-1, :] != m[1:, :]
+    edge[1:, :] |= m[1:, :] != m[:-1, :]
+    edge[:, :-1] |= m[:, :-1] != m[:, 1:]
+    edge[:, 1:] |= m[:, 1:] != m[:, :-1]
+    return edge.astype(np.uint8)
+
+
 BoxLike = Union[Sequence[float], np.ndarray]
 
 

@@ -33,12 +33,27 @@ def weighted_bce_with_logits(logits: jax.Array, targets: jax.Array,
     return jnp.mean(loss)
 
 
+def _pos_weight(cfg: SegLossConfig) -> jax.Array:
+    pos_weight = jnp.ones((cfg.image_channels,), jnp.float32)
+    return pos_weight.at[cfg.face_channel_start:cfg.face_channel_end
+                         ].set(cfg.face_weight)
+
+
 def bce_loss_with_quant(q_loss: jax.Array, targets: jax.Array,
                         logits: jax.Array,
                         cfg: SegLossConfig = SegLossConfig()) -> jax.Array:
     """targets/logits [B, H, W, C] (NHWC)."""
-    pos_weight = jnp.ones((cfg.image_channels,), jnp.float32)
-    pos_weight = pos_weight.at[cfg.face_channel_start:cfg.face_channel_end
-                               ].set(cfg.face_weight)
-    bce = weighted_bce_with_logits(logits, targets, pos_weight)
+    bce = weighted_bce_with_logits(logits, targets, _pos_weight(cfg))
     return bce + cfg.codebook_weight * q_loss.astype(jnp.float32)
+
+
+def vqvae_bce_loss(q_loss: jax.Array, targets: jax.Array,
+                   logits: jax.Array,
+                   cfg: SegLossConfig = SegLossConfig()) -> jax.Array:
+    """The reference's unused alternative ``VQVAEWithBCELoss``
+    (``losses/loss_seg.py:25-41``): MSE on sigmoid outputs + weighted BCE
+    + codebook loss — kept for parity."""
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    mse = jnp.mean(jnp.square(probs - targets.astype(jnp.float32)))
+    bce = weighted_bce_with_logits(logits, targets, _pos_weight(cfg))
+    return mse + bce + cfg.codebook_weight * q_loss.astype(jnp.float32)

@@ -42,6 +42,11 @@ Cache = Dict[str, jax.Array]
 _INIT = nn.initializers.normal(stddev=0.02)
 
 
+def _dt(cfg: TransformerConfig):
+    """Compute dtype: params stay fp32; activations/matmuls may be bf16."""
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 def resolve_attention_impl(cfg: TransformerConfig, seq_len: int) -> str:
     """'auto' -> pallas flash kernel on TPU when the sequence tiles onto the
     kernel's blocks, jnp otherwise."""
@@ -91,10 +96,11 @@ class SelfAttention(nn.Module):
     cfg: TransformerConfig
 
     def setup(self):
+        dt = _dt(self.cfg)
         self.qkv = nn.Dense(3 * self.cfg.hidden_dim, kernel_init=_INIT,
-                            name="qkv")
+                            dtype=dt, name="qkv")
         self.out_proj = nn.Dense(self.cfg.hidden_dim, kernel_init=_INIT,
-                                 name="out_proj")
+                                 dtype=dt, name="out_proj")
 
     def _heads(self, t):
         b = t.shape[0]
@@ -173,10 +179,11 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(4 * self.cfg.hidden_dim, kernel_init=_INIT,
+        dt = _dt(self.cfg)
+        h = nn.Dense(4 * self.cfg.hidden_dim, kernel_init=_INIT, dtype=dt,
                      name="lin1")(x)
         h = _gelu(h)
-        return nn.Dense(self.cfg.hidden_dim, kernel_init=_INIT,
+        return nn.Dense(self.cfg.hidden_dim, kernel_init=_INIT, dtype=dt,
                         name="lin2")(h)
 
 
@@ -230,34 +237,34 @@ class MakeAScene(nn.Module):
         cfg = self.cfg
         self.image_token_embedding = nn.Embed(
             cfg.image_vocab_size, cfg.hidden_dim, embedding_init=_INIT,
-            name="image_token_embedding")
+            dtype=_dt(cfg), name="image_token_embedding")
         self.seg_token_embedding = nn.Embed(
             cfg.seg_vocab_size, cfg.hidden_dim, embedding_init=_INIT,
-            name="seg_token_embedding")
+            dtype=_dt(cfg), name="seg_token_embedding")
         self.text_token_embedding = nn.Embed(
             cfg.text_vocab_size, cfg.hidden_dim, embedding_init=_INIT,
-            name="text_token_embedding")
+            dtype=_dt(cfg), name="text_token_embedding")
         self.text_pos_embeddings = nn.Embed(
             cfg.text_length, cfg.hidden_dim, embedding_init=_INIT,
-            name="text_pos_embeddings")
+            dtype=_dt(cfg), name="text_pos_embeddings")
         self.seg_row_embeddings = nn.Embed(
             cfg.seg_tokens_per_dim, cfg.hidden_dim, embedding_init=_INIT,
-            name="seg_row_embeddings")
+            dtype=_dt(cfg), name="seg_row_embeddings")
         self.seg_col_embeddings = nn.Embed(
             cfg.seg_tokens_per_dim, cfg.hidden_dim, embedding_init=_INIT,
-            name="seg_col_embeddings")
+            dtype=_dt(cfg), name="seg_col_embeddings")
         self.image_row_embeddings = nn.Embed(
             cfg.image_tokens_per_dim, cfg.hidden_dim, embedding_init=_INIT,
-            name="image_row_embeddings")
+            dtype=_dt(cfg), name="image_row_embeddings")
         self.image_col_embeddings = nn.Embed(
             cfg.image_tokens_per_dim, cfg.hidden_dim, embedding_init=_INIT,
-            name="image_col_embeddings")
+            dtype=_dt(cfg), name="image_col_embeddings")
         self.layers = [TransformerLayer(cfg, name=f"layer_{i}")
                        for i in range(cfg.num_layers)]
         self.final_ln = LayerNorm(name="final_ln")
         self.logits_ln = LayerNorm(name="logits_ln")
         self.logits_dense = nn.Dense(cfg.image_vocab_size, kernel_init=_INIT,
-                                     name="logits_dense")
+                                     dtype=_dt(cfg), name="logits_dense")
 
     # --- embedding assembly -------------------------------------------------
 
@@ -299,7 +306,7 @@ class MakeAScene(nn.Module):
         return self.final_ln(x)
 
     def to_logits(self, x):
-        return self.logits_dense(self.logits_ln(x))
+        return self.logits_dense(self.logits_ln(x)).astype(jnp.float32)
 
     def __call__(self, text_tokens, seg_tokens, img_tokens):
         """Training forward -> logits [B, image_length, image_vocab_size]."""

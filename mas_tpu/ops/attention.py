@@ -77,16 +77,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk_q, blk_k,
     from jax.experimental import pallas as pl
 
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale            # [blk_q, d]
+    # keep q/k/v in their storage dtype for the MXU dots (bf16 inputs hit
+    # the native bf16xbf16->fp32 path); all accumulation is fp32
+    q = (q_ref[0] * jnp.asarray(scale, q_ref.dtype))     # [blk_q, d]
     nk = t_kv // blk_k
 
     def body(kj, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(kj * blk_k, blk_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kj * blk_k, blk_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kj * blk_k, blk_k), :]
+        v = v_ref[0, pl.ds(kj * blk_k, blk_k), :]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [blk_q, blk_k]
+            preferred_element_type=jnp.float32)          # [blk_q, blk_k] f32
         mask = _mask_tile(qi, kj, blk_q, blk_k, prefix_length)
         s = jnp.where(mask, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -94,7 +96,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk_q, blk_k,
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l
 

@@ -57,16 +57,18 @@ def _loop(cfg: TrainConfig, state, step_fn: Callable, batches: Iterable,
         if step_no >= cfg.total_steps:
             break
         rng, key = jax.random.split(rng)
-        arrays = {k: np.asarray(v) for k, v in batch.items()
-                  if not isinstance(v, list)}
-        n_data = mesh.shape["data"]
-        b = next(iter(arrays.values())).shape[0]
-        if b % n_data == 0:
-            sharded = shard_batch(mesh, arrays)
-        else:
-            # batch smaller than the data axis (tiny tests): replicate
-            sharded = {k: jax.device_put(v) for k, v in arrays.items()}
-        state, metrics = step_fn(state, *to_step_args(sharded), key)
+        with jax.profiler.TraceAnnotation("host_batch_prep"):
+            arrays = {k: np.asarray(v) for k, v in batch.items()
+                      if not isinstance(v, list)}
+            n_data = mesh.shape["data"]
+            b = next(iter(arrays.values())).shape[0]
+            if b % n_data == 0:
+                sharded = shard_batch(mesh, arrays)
+            else:
+                # batch smaller than the data axis (tiny tests): replicate
+                sharded = {k: jax.device_put(v) for k, v in arrays.items()}
+        with jax.profiler.StepTraceAnnotation("train_step", step_num=step_no):
+            state, metrics = step_fn(state, *to_step_args(sharded), key)
         if (step_no + 1) % cfg.log_period == 0:
             host = {k: float(np.asarray(v)) for k, v in metrics.items()}
             rate = cfg.log_period / max(time.time() - t0, 1e-9)

@@ -175,3 +175,53 @@ def test_batch_iterator_drops_last():
     ds = [dict(image=np.zeros((8, 8, 3), np.float32)) for _ in range(5)]
     batches = list(batch_iterator(ds, 2, need_seg=False))
     assert len(batches) == 2
+
+
+def test_concat_dataset():
+    from mas_tpu.data.dataset import ConcatDataset
+
+    a = [dict(i=0), dict(i=1)]
+    b = [dict(i=2), dict(i=3), dict(i=4)]
+    c = ConcatDataset([a, b])
+    assert len(c) == 5
+    assert c[0]["i"] == 0 and c[2]["i"] == 2 and c[4]["i"] == 4
+    assert c[-1]["i"] == 4
+    assert c.get_true_idx(3) == (1, 1)
+
+
+def test_url_dataset_uses_cached_images(tmp_path):
+    """URLImageDataset skips downloading when the image is already cached
+    (zero-egress test: only the cache path is exercised)."""
+    import numpy as np
+    from PIL import Image
+
+    from mas_tpu.data.dataset import URLImageDataset
+    from mas_tpu.data.preprocess import SyntheticAnnotator, preprocess_local
+
+    img_dir = tmp_path / "imgs"; img_dir.mkdir()
+    Image.fromarray((np.random.default_rng(0).random((40, 40, 3)) * 255
+                     ).astype(np.uint8)).save(img_dir / "cap0.jpg")
+    pre = tmp_path / "pre"
+    anns = {k: SyntheticAnnotator(k) for k in ("panoptic", "human", "face")}
+    preprocess_local([str(img_dir / "cap0.jpg")], str(pre), anns)
+
+    manifest = tmp_path / "list.tsv"
+    manifest.write_text("http://unreachable.invalid/x.jpg\tcap0\n")
+    ds = URLImageDataset(str(manifest), str(img_dir), str(pre),
+                         resolution=32)
+    sample = ds[0]
+    assert sample["image"].shape == (32, 32, 3)
+    assert sample["mask"].shape[-1] == 159
+
+
+def test_edges_from_instances():
+    from mas_tpu.data.segmap import edges_from_instances
+
+    m = np.zeros((6, 6), np.int32)
+    m[2:4, 2:4] = 7
+    e = edges_from_instances(m)
+    # boundary pixels on both sides of the label change are edges
+    assert e[2, 2] == 1 and e[1, 2] == 1 and e[2, 1] == 1
+    assert e[0, 0] == 0 and e[5, 5] == 0
+    # uniform map has no edges
+    assert edges_from_instances(np.ones((4, 4))).sum() == 0

@@ -149,3 +149,27 @@ def test_sampler_runs():
     assert toks.dtype == jnp.int32
     assert int(toks.max()) < TINY.image_vocab_size
     assert int(toks.min()) >= 0
+
+
+def test_bfloat16_compute_close_to_fp32():
+    """bf16 compute dtype: fp32 params, bf16 activations, fp32 logits out;
+    values stay close to the fp32 path."""
+    import numpy as np
+
+    from mas_tpu.models.transformer import MakeAScene
+    from mas_tpu.utils.config import TransformerConfig
+
+    base = dict(num_layers=2, hidden_dim=64, num_attn_heads=4,
+                image_vocab_size=32, seg_vocab_size=16, text_vocab_size=64,
+                image_tokens_per_dim=2, seg_tokens_per_dim=2, text_length=4)
+    t = jnp.zeros((2, 4), jnp.int32)
+    s = jnp.zeros((2, 4), jnp.int32)
+    i = jnp.zeros((2, 4), jnp.int32)
+    m32 = MakeAScene(TransformerConfig(**base))
+    v = m32.init(jax.random.PRNGKey(0), t, s, i)
+    out32 = m32.apply(v, t, s, i)
+    m16 = MakeAScene(TransformerConfig(**base, compute_dtype="bfloat16"))
+    out16 = m16.apply(v, t, s, i)
+    assert out16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               atol=0.05, rtol=0.1)

@@ -97,3 +97,16 @@ class TestVQModel:
         params = mod.init(jax.random.PRNGKey(0), x)
         out = mod.apply(params, x)
         assert out.shape == (1, 4, 4, 1)
+
+
+def test_vqvae_bce_alternative_loss():
+    from mas_tpu.losses.seg import vqvae_bce_loss
+    from mas_tpu.utils.config import SegLossConfig
+
+    cfg = SegLossConfig(image_channels=8, face_channel_start=2,
+                        face_channel_end=4)
+    logits = jnp.zeros((1, 4, 4, 8))
+    targets = jnp.zeros((1, 4, 4, 8))
+    val = float(vqvae_bce_loss(jnp.float32(0.0), targets, logits, cfg))
+    # sigmoid(0)=0.5 -> mse 0.25; bce = ln 2
+    assert abs(val - (0.25 + 0.6931)) < 1e-3
