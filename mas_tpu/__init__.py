@@ -21,3 +21,5 @@ Pipeline stages (reference parity):
 """
 
 __version__ = "0.1.0"
+
+from . import eval as evaluation  # noqa: E402  (recon metrics, FID, codebook stats)

@@ -359,11 +359,13 @@ class SyntheticImgBatches:
             img = self.rng.random((b, r, r, 3), np.float32)
             boxes = np.zeros((b, m, 4), np.float32)
             n = self.rng.integers(0, m + 1, (b,))
+            min_side = min(24, max(r // 2, 1))
             for i in range(b):
                 for j in range(int(n[i])):
-                    x0 = self.rng.integers(0, r - 32)
-                    y0 = self.rng.integers(0, r - 32)
-                    side = self.rng.integers(24, min(96, r - max(x0, y0)))
+                    x0 = int(self.rng.integers(0, max(r - min_side, 1)))
+                    y0 = int(self.rng.integers(0, max(r - min_side, 1)))
+                    hi = max(min(96, r - max(x0, y0)), min_side + 1)
+                    side = int(self.rng.integers(min_side, hi))
                     boxes[i, j] = (x0, y0, x0 + side, y0 + side)
             yield {"image": img, "bbox_obj": boxes, "bbox_face": boxes.copy()}
 

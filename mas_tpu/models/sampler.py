@@ -66,14 +66,19 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
     logits0, caches = model.apply(
         variables, text_all, seg_all, method=MakeAScene.prefill)
 
-    # preallocate full-length per-layer caches; prefix occupies
-    # [0, prefix_length)
+    # preallocate full-length per-layer caches in the TRANSPOSED decode
+    # layout [B, H, hd, total] (sequence in lanes — see
+    # mas_tpu.ops.decode_attention); prefix occupies [0, prefix_length)
+    from ..ops.decode_attention import transpose_cache
+
     total = cfg.total_length
-    full = jnp.zeros((bb, cfg.num_attn_heads, total, cfg.head_dim),
+    full = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, total),
                      caches[0][0].dtype)
     caches = tuple(
-        (jax.lax.dynamic_update_slice(full, k, (0, 0, 0, 0)),
-         jax.lax.dynamic_update_slice(full, v, (0, 0, 0, 0)))
+        (jax.lax.dynamic_update_slice(full, transpose_cache(k),
+                                      (0, 0, 0, 0)),
+         jax.lax.dynamic_update_slice(full, transpose_cache(v),
+                                      (0, 0, 0, 0)))
         for k, v in caches)
 
     rng, r0 = jax.random.split(rng)

@@ -133,18 +133,36 @@ class SelfAttention(nn.Module):
             return out, (k, v)
         return out
 
-    def decode(self, x, mask, k_cache, v_cache, index):
-        """x [B, 1, D]; caches [B, H, total, hd]; index = write position."""
+    def decode(self, x, k_cache, v_cache, index):
+        """x [B, 1, D]; caches in the TRANSPOSED decode layout
+        [B, H, hd, total]; index = write position.
+
+        Attention over the cache is masked to positions <= index (the
+        PB-relax max-shift cancels in softmax, so this IS the reference
+        semantics); on TPU this runs the HBM-resident fused decode kernel
+        (``mas_tpu.ops.decode_attention``) which DMAs only the valid
+        blocks instead of reading the whole padded cache."""
+        from ..ops.decode_attention import decode_attention
+
         cfg = self.cfg
         b = x.shape[0]
         q, k_new, v_new = self._qkv(x)
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_new.astype(k_cache.dtype), (0, 0, index, 0))
+            k_cache, k_new.transpose(0, 1, 3, 2).astype(k_cache.dtype),
+            (0, 0, 0, index))
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_new.astype(v_cache.dtype), (0, 0, index, 0))
-        ctx = pb_relax_attention(q, k_cache, v_cache, mask,
-                                 alpha=cfg.pb_relax_alpha,
-                                 pb_relax=cfg.cogview_pb_relax)
+            v_cache, v_new.transpose(0, 1, 3, 2).astype(v_cache.dtype),
+            (0, 0, 0, index))
+        # MEASURED (v5e, T=640, B=16, H=16): the single-token Pallas kernel
+        # loses to XLA's fused batched matmul here — its per-(b,h)
+        # sequential grid of small DMAs can't beat one large read even
+        # though it skips the invalid tail (1.8 vs 7.0 img/s end-to-end).
+        # 'auto' therefore decodes via jnp; the kernel stays available as
+        # an explicit impl for longer-cache regimes / future tuning.
+        impl = cfg.attention_impl
+        if impl not in ("pallas", "pallas_interpret"):
+            impl = "jnp"
+        ctx = decode_attention(q, k_cache, v_cache, index, impl=impl)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
         return self.out_proj(ctx), (k_cache, v_cache)
 
@@ -222,9 +240,9 @@ class TransformerLayer(nn.Module):
         return self._post_attn(
             x, self.attn(h, mask, prefix_length=prefix_length))
 
-    def decode(self, x, mask, k_cache, v_cache, index):
+    def decode(self, x, k_cache, v_cache, index):
         a, (k_cache, v_cache) = self.attn.decode(
-            self.ln_in(x), mask, k_cache, v_cache, index)
+            self.ln_in(x), k_cache, v_cache, index)
         return self._post_attn(x, a), (k_cache, v_cache)
 
 
@@ -361,20 +379,18 @@ class MakeAScene(nn.Module):
         """One cached decode step.
 
         img_token [B, 1] (the token generated at image position ``step``);
-        ``caches`` is a per-layer tuple of (k, v) [B, H, total, hd] already
-        holding prefix + ``step`` image tokens.  Writes this token's k/v at
-        index prefix+step, attends, and returns (logits [B, vocab] for
-        position step+1, new caches).
+        ``caches`` is a per-layer tuple of (k, v) in the TRANSPOSED decode
+        layout [B, H, hd, total] already holding prefix + ``step`` image
+        tokens.  Writes this token's k/v at index prefix+step, attends
+        (masked to <= index), and returns (logits [B, vocab] for position
+        step+1, new caches).
         """
         cfg = self.cfg
         index = cfg.prefix_length + step
         x = self.embed_image(img_token, past_length=step)
-        total = caches[0][0].shape[2]
-        kpos = jnp.arange(total)
-        mask = (kpos <= index)[None, None, None, :]
         new_caches = []
         for layer, (k, v) in zip(self.layers, caches):
-            x, kv = layer.decode(x, mask, k, v, index)
+            x, kv = layer.decode(x, k, v, index)
             new_caches.append(kv)
         h = self.final_ln(x)
         logits = self.to_logits(h)[:, 0]

@@ -164,6 +164,8 @@ def _flash_fwd(q, k, v, prefix_length: int, blk_q: int, blk_k: int,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * t * t * d, transcendentals=bh * t * t,
             bytes_accessed=3 * bh * t * d * 4 + bh * t * d * 4),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, t, d), lse.reshape(b, h, t)
@@ -301,6 +303,8 @@ def _flash_bwd(q, k, v, out, lse, do, prefix_length: int, blk_q: int,
         cost_estimate=pl.CostEstimate(
             flops=8 * bh * t * t * d, transcendentals=bh * t * t,
             bytes_accessed=6 * bh * t * d * 4),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(qf, kf, vf, dof, of, lsef)
 
@@ -325,6 +329,8 @@ def _flash_bwd(q, k, v, out, lse, do, prefix_length: int, blk_q: int,
         cost_estimate=pl.CostEstimate(
             flops=5 * bh * t * t * d, transcendentals=bh * t * t,
             bytes_accessed=5 * bh * t * d * 4),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(qf, kf, vf, dof, of, lsef)
 

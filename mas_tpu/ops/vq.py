@@ -78,6 +78,8 @@ def _vq_argmin_pallas(z: jax.Array, codebook: jax.Array,
             bytes_accessed=(n + n_pad) * d * 4 + k * d * 4 + (n + n_pad) * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(z, codebook, cb_sq)
     return idx.reshape(-1)[:n]

@@ -98,3 +98,53 @@ def test_transformer_uses_flash_equivalently():
     out_fa = m_fa.apply(variables, text, seg, img)
     np.testing.assert_allclose(np.asarray(out_fa), np.asarray(out_jnp),
                                atol=2e-4, rtol=2e-4)
+
+
+class TestDecodeAttention:
+    """HBM-resident single-token decode kernel vs the full-cache jnp path."""
+
+    def _setup(self, t=256, b=2, h=2, d=64, seed=0):
+        # caches in the transposed decode layout [B, H, d, T]
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        q = jax.random.normal(ks[0], (b, h, 1, d), jnp.float32)
+        k = jax.random.normal(ks[1], (b, h, d, t), jnp.float32)
+        v = jax.random.normal(ks[2], (b, h, d, t), jnp.float32)
+        return q, k, v
+
+    @pytest.mark.parametrize("index", [0, 1, 127, 128, 200, 255])
+    def test_matches_jnp(self, index):
+        from mas_tpu.ops.decode_attention import (decode_attention,
+                                                  decode_attention_jnp)
+
+        q, k, v = self._setup()
+        ref = decode_attention_jnp(q, k, v, jnp.int32(index))
+        out = decode_attention(q, k, v, jnp.int32(index),
+                               impl="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_ignores_tail_garbage(self):
+        """Cache positions past index must not affect the output."""
+        from mas_tpu.ops.decode_attention import decode_attention
+
+        q, k, v = self._setup()
+        idx = jnp.int32(100)
+        out1 = decode_attention(q, k, v, idx, impl="pallas_interpret")
+        k2 = k.at[:, :, :, 101:].set(1e6)
+        v2 = v.at[:, :, :, 101:].set(-1e6)
+        out2 = decode_attention(q, k2, v2, idx, impl="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-6)
+
+    def test_bf16_cache(self):
+        from mas_tpu.ops.decode_attention import (decode_attention,
+                                                  decode_attention_jnp)
+
+        q, k, v = self._setup()
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        ref = decode_attention_jnp(qb, kb, vb, jnp.int32(77))
+        out = decode_attention(qb, kb, vb, jnp.int32(77),
+                               impl="pallas_interpret")
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2)

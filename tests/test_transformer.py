@@ -119,12 +119,16 @@ class TestDecode:
 
         logits0, caches = model.apply(variables, text, seg,
                                       method=MakeAScene.prefill)
+        # decode caches use the TRANSPOSED [B, H, hd, total] layout
+        from mas_tpu.ops.decode_attention import transpose_cache
         total = cfg.total_length
-        full_buf = jnp.zeros((2, cfg.num_attn_heads, total, cfg.head_dim),
+        full_buf = jnp.zeros((2, cfg.num_attn_heads, cfg.head_dim, total),
                              caches[0][0].dtype)
         caches = tuple(
-            (jax.lax.dynamic_update_slice(full_buf, k, (0, 0, 0, 0)),
-             jax.lax.dynamic_update_slice(full_buf, v, (0, 0, 0, 0)))
+            (jax.lax.dynamic_update_slice(full_buf, transpose_cache(k),
+                                          (0, 0, 0, 0)),
+             jax.lax.dynamic_update_slice(full_buf, transpose_cache(v),
+                                          (0, 0, 0, 0)))
             for k, v in caches)
 
         got = [logits0]
