@@ -172,3 +172,63 @@ def test_shipped_configs_parse():
             VQModelConfig.from_dict(raw["model"])
         if "transformer" in raw:
             TransformerConfig.from_dict(raw["transformer"])
+
+
+def test_tokenize_batches_and_tokenizer(tmp_path):
+    """Pixels+captions -> (text, seg, image) tokens via the two frozen VQ
+    encoders + the hash tokenizer (the stage-2 glue the reference lacks,
+    SURVEY §3.3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mas_tpu.data.tokenizer import HashWordTokenizer
+    from mas_tpu.models.vqvae import VQModel
+    from mas_tpu.train.loop import tokenize_batches
+    from mas_tpu.utils.config import CodebookConfig, VQModelConfig
+
+    seg_cfg = VQModelConfig(
+        in_channels=159, out_channels=159, resolution=32, channels=(32, 32),
+        num_res_blocks=1, attn_resolutions=(), z_channels=32, embed_dim=32,
+        codebook=CodebookConfig(codebook_size=16, codebook_dim=32))
+    img_cfg = seg_cfg.replace(in_channels=3, out_channels=3)
+    vq_seg, vq_img = VQModel(seg_cfg), VQModel(img_cfg)
+    seg_vars = vq_seg.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 159)))
+    img_vars = vq_img.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+
+    pixel_batches = [dict(
+        image=np.random.default_rng(0).random((2, 32, 32, 3)).astype(
+            np.float32),
+        mask=np.random.default_rng(1).random((2, 32, 32, 159)).astype(
+            np.float32),
+        caption=["a cat", "a dog on a mat"])]
+    tok = HashWordTokenizer(vocab_size=64, text_length=8)
+    batches = list(tokenize_batches(iter(pixel_batches), vq_seg, seg_vars,
+                                    vq_img, img_vars, tok))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["text"].shape == (2, 8) and b["text"].dtype == np.int32
+    n_tok = seg_cfg.latent_resolution ** 2
+    assert b["seg"].shape == (2, n_tok)
+    assert b["image"].shape == b["seg"].shape
+    assert b["image"].max() < 16
+    # tokenizer determinism + pad
+    t2 = tok(["a cat", "a dog on a mat"])
+    np.testing.assert_array_equal(b["text"], t2)
+    assert t2[0, 2:].sum() == 0 and t2[0, 0] > 0
+
+
+def test_run_show_saves_grids(tmp_path):
+    from mas_tpu.data.dataset import SyntheticSegBatches
+    from mas_tpu.train.loop import run_pretrain_segmentation, run_show
+    from mas_tpu.utils.logging import Logger
+
+    train, model = _tiny_seg_cfg(tmp_path)
+    batches = iter(SyntheticSegBatches(2, resolution=32))
+    run_pretrain_segmentation(
+        train, model, batches,
+        logger=Logger(str(tmp_path / "logs"), use_tensorboard=False))
+    paths = run_show(train, model, iter(SyntheticSegBatches(2, 32)),
+                     n_samples=4, out_dir=str(tmp_path / "results"))
+    assert len(paths) == 2
+    assert all(os.path.exists(p) for p in paths)
