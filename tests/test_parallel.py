@@ -55,3 +55,12 @@ def test_seg_train_step_sharded():
     # second step with different shard content still fine
     state, metrics = step(state, seg, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_distributed_bootstrap_single_process():
+    from mas_tpu.parallel.distributed import initialize, is_primary
+
+    info = initialize()
+    assert info["process_count"] == 1
+    assert info["global_devices"] == 8     # fake CPU mesh from conftest
+    assert is_primary()
