@@ -19,6 +19,17 @@ reference's ``[.., T, d]`` layout the d=64 lane dim cannot be block-sliced,
 while ``[.., d, T]`` slices T in 128-blocks and keeps d=64 in (8-aligned)
 sublanes.  ``mas_tpu.models.sampler`` allocates the caches in this layout;
 ``transpose_cache`` converts prefill-shaped [B, H, P, d] k/v.
+
+MEASURED (v5e, B=16, H=16, T=640, bf16):
+  * per-(b,h) grid (16 KB DMAs): 702 us/call — 1.9x slower than jnp.
+  * per-batch grid, all heads per step (256 KB DMAs, this version):
+    374 us/call vs jnp 425 us — wins the isolated microbenchmark…
+  * …but END-TO-END sampling is still faster with the jnp path
+    (7.10 vs 4.82 img/s): inside the decode ``lax.scan`` XLA overlaps its
+    fused attention with the adjacent qkv/mlp matmuls, which opaque kernel
+    boundaries prevent.  'auto' therefore decodes via jnp; the kernel
+    remains opt-in for longer-cache regimes where the valid-prefix
+    skipping dominates.
 """
 
 from __future__ import annotations
@@ -55,28 +66,32 @@ def decode_attention_jnp(q, k_cache_t, v_cache_t, index):
 
 def _decode_kernel(idx_ref, q_ref, k_hbm, v_hbm, o_ref,
                    k_buf, v_buf, sems, *, blk, scale):
+    """Grid = (batch,).  ALL heads are processed per grid step so each DMA
+    moves an [H, d, blk] chunk (e.g. 16x64x128 bf16 = 256 KB) — large
+    enough to saturate HBM bandwidth, unlike a per-(b,h) grid whose 16 KB
+    copies ran at ~5 %% of peak (measured; see module docstring)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
     valid = idx_ref[0] + 1
     nblk = pl.cdiv(valid, blk)
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)        # [1, d]
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)        # [H, d]
 
     def copy(j, slot):
         pltpu.make_async_copy(
-            k_hbm.at[i, :, pl.ds(j * blk, blk)], k_buf.at[slot],
+            k_hbm.at[i, :, :, pl.ds(j * blk, blk)], k_buf.at[slot],
             sems.at[slot, 0]).start()
         pltpu.make_async_copy(
-            v_hbm.at[i, :, pl.ds(j * blk, blk)], v_buf.at[slot],
+            v_hbm.at[i, :, :, pl.ds(j * blk, blk)], v_buf.at[slot],
             sems.at[slot, 1]).start()
 
     def wait(j, slot):
         pltpu.make_async_copy(
-            k_hbm.at[i, :, pl.ds(j * blk, blk)], k_buf.at[slot],
+            k_hbm.at[i, :, :, pl.ds(j * blk, blk)], k_buf.at[slot],
             sems.at[slot, 0]).wait()
         pltpu.make_async_copy(
-            v_hbm.at[i, :, pl.ds(j * blk, blk)], v_buf.at[slot],
+            v_hbm.at[i, :, :, pl.ds(j * blk, blk)], v_buf.at[slot],
             sems.at[slot, 1]).wait()
 
     copy(0, 0)
@@ -90,27 +105,30 @@ def _decode_kernel(idx_ref, q_ref, k_hbm, v_hbm, o_ref,
         def _():
             copy(j + 1, jax.lax.rem(j + 1, 2))
 
-        k = k_buf[slot]                                   # [d, blk]
-        v = v_buf[slot]                                   # [d, blk]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [1, blk]
-        kpos = j * blk + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+        k = k_buf[slot]                                   # [H, d, blk]
+        v = v_buf[slot]                                   # [H, d, blk]
+        # batched matvecs on the VPU (this Mosaic rejects batched
+        # dot_general, and the kernel is DMA-bound anyway):
+        # s[h, blk] = sum_d q[h, d] k[h, d, blk]
+        # (cast before the minor-dim insert: Mosaic only reshapes 32-bit)
+        qf = q.astype(jnp.float32)[:, :, None]            # [H, d, 1]
+        s = jnp.sum(qf * k.astype(jnp.float32), axis=1)   # [H, blk]
+        h = q.shape[0]
+        kpos = j * blk + jax.lax.broadcasted_iota(jnp.int32, (h, blk), 1)
         s = jnp.where(kpos < valid, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [1, d]
+        # acc[h, d] += sum_blk p[h, blk] v[h, d, blk]
+        acc = acc * alpha + jnp.sum(
+            p[:, None, :] * v.astype(jnp.float32), axis=2)  # [H, d]
         return m_new, l, acc
 
-    d = q_ref.shape[-1]
-    m0 = jnp.full((1, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((1, 1), jnp.float32)
-    acc0 = jnp.zeros((1, d), jnp.float32)
+    h, d = q_ref.shape[1], q_ref.shape[2]
+    m0 = jnp.full((h, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((h, 1), jnp.float32)
+    acc0 = jnp.zeros((h, d), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
@@ -125,42 +143,39 @@ def _decode_attention_pallas(q, k_cache_t, v_cache_t, index,
     b, h, _, d = q.shape
     t = k_cache_t.shape[3]
     assert t % blk == 0, (t, blk)
-    bh = b * h
-    qf = q.reshape(bh, 1, d)
-    kf = k_cache_t.reshape(bh, d, t)
-    vf = v_cache_t.reshape(bh, d, t)
+    qf = q.reshape(b, h, d)
     scale = 1.0 / math.sqrt(d)
     idx = jnp.asarray(index, jnp.int32).reshape(1)
 
     kernel = functools.partial(_decode_kernel, blk=blk, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh,),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, d), lambda i, idx_ref: (i, 0, 0),
+            pl.BlockSpec((1, h, d), lambda i, idx_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),     # K cache stays in HBM
             pl.BlockSpec(memory_space=pltpu.HBM),     # V cache stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, d), lambda i, idx_ref: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, h, d), lambda i, idx_ref: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, d, blk), k_cache_t.dtype),
-            pltpu.VMEM((2, d, blk), v_cache_t.dtype),
+            pltpu.VMEM((2, h, d, blk), k_cache_t.dtype),
+            pltpu.VMEM((2, h, d, blk), v_cache_t.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, 1, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * t * d, transcendentals=bh * t,
-            bytes_accessed=2 * bh * t * d * k_cache_t.dtype.itemsize),
+            flops=4 * b * h * t * d, transcendentals=b * h * t,
+            bytes_accessed=2 * b * h * t * d * k_cache_t.dtype.itemsize),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(idx, qf, kf, vf)
+    )(idx, qf, k_cache_t, v_cache_t)
     return out.reshape(b, h, 1, d)
 
 
