@@ -287,7 +287,13 @@ class MakeAScene(nn.Module):
         self.image_col_embeddings = nn.Embed(
             cfg.image_tokens_per_dim, cfg.hidden_dim, embedding_init=_INIT,
             dtype=_dt(cfg), name="image_col_embeddings")
-        self.layers = [TransformerLayer(cfg, name=f"layer_{i}")
+        layer_cls = TransformerLayer
+        if cfg.remat:
+            # recompute each layer in the backward pass (reference has no
+            # analog; TPU memory lever for the 1408-token geometry)
+            layer_cls = nn.remat(TransformerLayer,
+                                 static_argnums=(2, 3))
+        self.layers = [layer_cls(cfg, name=f"layer_{i}")
                        for i in range(cfg.num_layers)]
         self.final_ln = LayerNorm(name="final_ln")
         self.logits_ln = LayerNorm(name="logits_ln")
@@ -330,7 +336,8 @@ class MakeAScene(nn.Module):
 
     def backbone(self, x, mask, prefix_length: Optional[int] = None):
         for layer in self.layers:
-            x = layer(x, mask, prefix_length=prefix_length)
+            # positional args so nn.remat's static_argnums line up
+            x = layer(x, mask, False, prefix_length)
         return self.final_ln(x)
 
     def to_logits(self, x):
@@ -378,8 +385,7 @@ class MakeAScene(nn.Module):
         caches = []
         x = emb
         for layer in self.layers:
-            x, kv = layer(x, mask, return_kv=True,
-                          prefix_length=cfg.prefix_length)
+            x, kv = layer(x, mask, True, cfg.prefix_length)
             caches.append(kv)
         h = self.final_ln(x[:, -1:, :])
         logits = self.to_logits(h)[:, 0]

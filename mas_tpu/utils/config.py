@@ -211,6 +211,10 @@ class TransformerConfig(_Base):
     compute_dtype: str = "float32"
     # 'auto' picks pallas flash attention on TPU, jnp elsewhere
     attention_impl: str = "auto"
+    # rematerialize each layer's activations in the backward pass
+    # (jax.checkpoint): trades ~30% step FLOPs for O(layers) less
+    # activation memory — the standard lever for the 1408-token geometry
+    remat: bool = False
 
     def __post_init__(self):
         if self.hidden_dim % self.num_attn_heads:

@@ -177,3 +177,24 @@ def test_bfloat16_compute_close_to_fp32():
     assert out16.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
                                atol=0.05, rtol=0.1)
+
+
+def test_remat_matches_plain():
+    """remat=True must be numerically identical (it only changes the
+    backward-pass memory/compute tradeoff)."""
+    cfg_plain = TINY
+    cfg_remat = TINY.replace(remat=True)
+    text, seg, img = make_inputs(jax.random.PRNGKey(0))
+    m0 = MakeAScene(cfg_plain)
+    variables = m0.init(jax.random.PRNGKey(1), text, seg, img)
+    m1 = MakeAScene(cfg_remat)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply(variables, text, seg, img)),
+        np.asarray(m1.apply(variables, text, seg, img)), atol=1e-6)
+    g0 = jax.grad(lambda p: jnp.mean(
+        m0.apply({"params": p}, text, seg, img) ** 2))(variables["params"])
+    g1 = jax.grad(lambda p: jnp.mean(
+        m1.apply({"params": p}, text, seg, img) ** 2))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
