@@ -71,8 +71,21 @@ def build_pipeline():
     log(f"init: {time.time() - t0:.1f}s "
         f"({sum(x.size for x in jax.tree.leaves(tvars)) / 1e6:.0f}M params)")
 
-    decode_code = jax.jit(
-        lambda v, toks: vq.apply(v, toks, method=VQModel.decode_code))
+    # chunked VQ decode: the conv decoder's 256^2 activations OOM above
+    # ~64 images while the token sampler keeps scaling — decode in fixed
+    # chunks via lax.map (one compile, sequential chunks)
+    CHUNK = 32
+
+    @jax.jit
+    def decode_code(v, toks):
+        n = toks.shape[0]
+        if n <= CHUNK:
+            return vq.apply(v, toks, method=VQModel.decode_code)
+        assert n % CHUNK == 0, n
+        chunks = toks.reshape(n // CHUNK, CHUNK, *toks.shape[1:])
+        out = jax.lax.map(
+            lambda t: vq.apply(v, t, method=VQModel.decode_code), chunks)
+        return out.reshape(n, *out.shape[2:])
 
     def pipeline(text, seg, key):
         toks = sample_tokens(transformer, tvars, text, seg, key,
@@ -114,9 +127,17 @@ def run(batches, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="bench a single batch size")
     args = ap.parse_args()
 
-    batches = [8] if args.quick else [4, 8, 16]
+    # measured scaling on v5e (bf16): 8->7.1, 16->7.9, 32->9.3, 64->16.8
+    # img/s; 80/96 OOM on the CFG KV caches + transients. Decode is batch-starved,
+    # so the sweep leads with the largest fitting batch.
+    if args.batch:
+        batches = [args.batch]
+    else:
+        batches = [64] if args.quick else [48, 64]
     iters = 2 if args.quick else 3
 
     best, best_batch = run(batches, iters)

@@ -106,11 +106,22 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
 def sample_images(transformer: MakeAScene, transformer_vars,
                   vq_img, vq_img_vars, text_tokens, seg_tokens, rng,
                   guidance_scale: float = 3.0, temperature: float = 1.0,
-                  top_k: int = 0):
-    """Full text+seg -> RGB pipeline: AR sample then VQ-IMG decode_code."""
+                  top_k: int = 0, decode_chunk: int = 32):
+    """Full text+seg -> RGB pipeline: AR sample then VQ-IMG decode_code.
+
+    ``decode_chunk``: the conv decoder's activations OOM past ~64 images at
+    256^2 while the token sampler keeps scaling with batch, so pixels are
+    decoded in fixed chunks via ``lax.map`` when the batch divides."""
     tokens = sample_tokens(transformer, transformer_vars, text_tokens,
                            seg_tokens, rng, guidance_scale=guidance_scale,
                            temperature=temperature, top_k=top_k)
     d = transformer.cfg.image_tokens_per_dim
     grid = tokens.reshape(-1, d, d)
-    return vq_img.apply(vq_img_vars, grid, method=type(vq_img).decode_code)
+    n = grid.shape[0]
+    decode = lambda t: vq_img.apply(vq_img_vars, t,
+                                    method=type(vq_img).decode_code)
+    if decode_chunk and n > decode_chunk and n % decode_chunk == 0:
+        chunks = grid.reshape(n // decode_chunk, decode_chunk, d, d)
+        out = jax.lax.map(decode, chunks)
+        return out.reshape(n, *out.shape[2:])
+    return decode(grid)
