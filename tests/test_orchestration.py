@@ -164,10 +164,17 @@ def test_shipped_configs_parse():
     root = os.path.join(os.path.dirname(__file__), "..", "configs")
     found = sorted(glob.glob(os.path.join(root, "*.json")))
     assert found, "configs/ must ship run configs"
+    train_modes = ("pretrain_segmentation", "pretrain_image",
+                   "train_transformer")
     for p in found:
         with open(p) as f:
             raw = json.load(f)
-        TrainConfig.from_dict(raw.get("train", {}))
+        train_raw = dict(raw.get("train", {}))
+        # eval/sample/preprocess modes reuse the generic fields (the CLI
+        # performs the same remap)
+        if train_raw.get("mode") not in train_modes:
+            train_raw["mode"] = train_modes[0]
+        TrainConfig.from_dict(train_raw)
         if "model" in raw:
             VQModelConfig.from_dict(raw["model"])
         if "transformer" in raw:
