@@ -63,15 +63,19 @@ def _data_iter(data_cfg: Dict[str, Any], mode: str, batch_size: int,
     if kind == "webdataset":
         import jax
 
+        from .data.prefetch import prefetch
+
         ds = PreprocessedWebDataset(
             data_cfg["shards"],
             resolution=data_cfg.get("resolution", 512),
             process_index=jax.process_index(),
             process_count=jax.process_count(),
             need_seg=(mode != "pretrain_image"))
-        return batch_iterator(ds, batch_size,
-                              max_boxes=data_cfg.get("max_boxes", 6),
-                              need_seg=(mode != "pretrain_image"))
+        batches = batch_iterator(ds, batch_size,
+                                 max_boxes=data_cfg.get("max_boxes", 6),
+                                 need_seg=(mode != "pretrain_image"))
+        # background thread keeps batches ahead of the async TPU step
+        return prefetch(batches, size=data_cfg.get("prefetch", 2))
     raise ConfigError(f"unknown data kind {kind!r}")
 
 

@@ -4,3 +4,4 @@ from .tario import iter_tar_samples, shard_split, warn_and_continue
 from .dataset import (PreprocessedWebDataset, PreprocessedLocalDataset,
                       SyntheticSegBatches, SyntheticImgBatches,
                       SyntheticTokenBatches, collate)
+from .prefetch import PrefetchIterator, prefetch

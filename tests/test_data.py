@@ -225,3 +225,19 @@ def test_edges_from_instances():
     assert e[0, 0] == 0 and e[5, 5] == 0
     # uniform map has no edges
     assert edges_from_instances(np.ones((4, 4))).sum() == 0
+
+
+def test_prefetch_iterator():
+    from mas_tpu.data.prefetch import prefetch
+
+    out = list(prefetch(iter(range(7)), size=2))
+    assert out == list(range(7))
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        next(it)
