@@ -33,10 +33,15 @@ def _writeback_embedding(params, emb, triggered):
 
 def make_seg_train_step(model: VQModel, tx,
                         loss_cfg: SegLossConfig = SegLossConfig(),
-                        vq_impl: str = "auto") -> Callable:
+                        vq_impl: str = "auto",
+                        donate: bool = True) -> Callable:
     """Returns jitted ``step(state, seg_batch, rng) -> (state, metrics)``.
 
     ``seg_batch``: [B, H, W, 159] float targets (NHWC).
+    ``donate``: donate the state buffers (params, optimizer state, the
+    up-to-200MB codebook reservoir) so XLA updates them in place; the
+    passed-in state is CONSUMED — rebind it.  Disable for interactive
+    reuse of one state object.
     """
     cb_cfg = model.cfg.codebook
 
@@ -54,7 +59,7 @@ def make_seg_train_step(model: VQModel, tx,
                    emb_writeback=emb_wb, kmeans_triggered=trig)
         return loss, aux
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: VQTrainState, seg, rng) -> Tuple[VQTrainState, Dict]:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, state.vq_state, seg, rng)
@@ -78,7 +83,8 @@ def make_seg_train_step(model: VQModel, tx,
 
 def make_img_train_step(model: VQModel, disc, tx, disc_tx,
                         loss_cfg, lpips_model, face_model=None,
-                        vq_impl: str = "auto") -> Callable:
+                        vq_impl: str = "auto",
+                        donate: bool = True) -> Callable:
     """VQ-IMG (VQGAN) dual-optimizer step (reference ``train.py:80-103``).
 
     One jitted step runs BOTH optimizer indices of the reference loop:
@@ -159,7 +165,7 @@ def make_img_train_step(model: VQModel, disc, tx, disc_tx,
         m = discriminator_step_loss(fwd, loss_cfg, images, recon, step_no)
         return m["loss"], (m, stats)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: VQTrainState, batch, frozen, rng):
         disc_vars = {"params": state.disc_params["params"],
                      "batch_stats": state.disc_params["batch_stats"]}
@@ -207,7 +213,8 @@ def make_img_train_step(model: VQModel, disc, tx, disc_tx,
 
 
 def make_transformer_train_step(model, tx, uncond_p: float = 0.1,
-                                start_uncond: int = 0) -> Callable:
+                                start_uncond: int = 0,
+                                donate: bool = True) -> Callable:
     """Stage-2 AR training step (reference ``train.py:136-161``).
 
     CFG dropout: with probability ``uncond_p`` the *whole batch's* text
@@ -223,7 +230,7 @@ def make_transformer_train_step(model, tx, uncond_p: float = 0.1,
             logits.astype(jnp.float32), img)
         return jnp.mean(ce)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TransformerTrainState, text, seg, img, rng):
         drop = jnp.logical_and(
             state.step >= start_uncond,

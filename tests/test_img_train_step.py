@@ -38,8 +38,10 @@ def setup():
     frozen = {"lpips": lpips_vars}
 
     loss_cfg = VQGANLossConfig(disc_start=3, face_loss=False)
+    # donate=False: these tests re-step from the same fixture state
     step = make_img_train_step(model, disc, tx, disc_tx, loss_cfg, lpips,
-                               face_model=None, vq_impl="jnp")
+                               face_model=None, vq_impl="jnp",
+                               donate=False)
     batch = dict(
         image=x,
         bbox_obj=jnp.array([[[4, 4, 20, 20]], [[0, 0, 0, 0]]], jnp.float32),
