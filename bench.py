@@ -31,22 +31,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_pipeline():
+def build_pipeline(resolution: int = 256):
     from mas_tpu.models.sampler import sample_tokens
     from mas_tpu.models.transformer import MakeAScene
     from mas_tpu.models.vqvae import VQModel
     from mas_tpu.utils.config import (CodebookConfig, TransformerConfig,
                                       VQModelConfig)
 
+    # 256^2 => 16x16 image tokens (640-token sequence);
+    # 512^2 => 32x32 image tokens (the paper's full 1408-token geometry)
+    tokens_per_dim = resolution // 16
     tcfg = TransformerConfig(
         num_layers=24, hidden_dim=1024, num_attn_heads=16,
         image_vocab_size=8192, seg_vocab_size=1024,
         text_vocab_size=16384 + 128,
-        image_tokens_per_dim=16, seg_tokens_per_dim=16, text_length=128,
-        compute_dtype="bfloat16")
+        image_tokens_per_dim=tokens_per_dim, seg_tokens_per_dim=16,
+        text_length=128, compute_dtype="bfloat16")
     vcfg = VQModelConfig(
-        in_channels=3, out_channels=3, resolution=256,
-        attn_resolutions=(16,), compute_dtype="bfloat16",
+        in_channels=3, out_channels=3, resolution=resolution,
+        attn_resolutions=(resolution // 16,), compute_dtype="bfloat16",
         codebook=CodebookConfig(codebook_size=8192))
 
     transformer = MakeAScene(tcfg)
@@ -66,7 +69,8 @@ def build_pipeline():
     cast = lambda s: (jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype)
     tvars = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, cast(s)), tshapes)
     vshapes = jax.eval_shape(vq.init, jax.random.PRNGKey(1),
-                             jnp.zeros((1, 256, 256, 3), jnp.float32))
+                             jnp.zeros((1, resolution, resolution, 3),
+                                       jnp.float32))
     vvars = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, cast(s)), vshapes)
     log(f"init: {time.time() - t0:.1f}s "
         f"({sum(x.size for x in jax.tree.leaves(tvars)) / 1e6:.0f}M params)")
@@ -97,8 +101,8 @@ def build_pipeline():
     return pipeline, tcfg
 
 
-def run(batches, iters):
-    pipeline, tcfg = build_pipeline()
+def run(batches, iters, resolution=256):
+    pipeline, tcfg = build_pipeline(resolution)
     best = 0.0
     best_batch = 0
     for b in batches:
@@ -129,6 +133,9 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--batch", type=int, default=0,
                     help="bench a single batch size")
+    ap.add_argument("--resolution", type=int, default=256,
+                    choices=(256, 512),
+                    help="pipeline geometry (512 = the 1408-token paper config)")
     args = ap.parse_args()
 
     # measured scaling on v5e (bf16): 8->7.1, 16->7.9, 32->9.3, 64->16.8
@@ -140,15 +147,17 @@ def main():
         batches = [64] if args.quick else [48, 64]
     iters = 2 if args.quick else 3
 
-    best, best_batch = run(batches, iters)
+    if args.resolution == 512 and not args.batch:
+        batches = [8]          # 1408-token caches are 5.5x larger
+    best, best_batch = run(batches, iters, args.resolution)
 
     from benchmarks.torch_baseline import get_baseline
     base = get_baseline()
     ratio = best / base["images_per_sec"]
 
     print(json.dumps({
-        "metric": "256^2 images/sec/chip (AR sample w/ KV cache + CFG + "
-                  "VQ-IMG decode)",
+        "metric": f"{args.resolution}^2 images/sec/chip (AR sample w/ KV cache "
+                  "+ CFG + VQ-IMG decode)",
         "value": round(best, 3),
         "unit": "img/s",
         "vs_baseline": round(ratio, 1),
