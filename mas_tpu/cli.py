@@ -34,13 +34,15 @@ def _load(path: str) -> Dict[str, Any]:
 
 
 def _global_batch(train_cfg: TrainConfig) -> int:
-    """Reference configs give a *per-replica* batch (batch 2/GPU,
-    ``conf/img_config.yaml:2-17``); the global-view loop wants the global
-    batch = per-replica x data-axis size."""
+    """Per-PROCESS host batch: reference configs give a per-replica batch
+    (batch 2/GPU, ``conf/img_config.yaml:2-17``); each host's input
+    pipeline produces per-replica x data-axis / process_count rows and
+    ``shard_batch`` assembles the global array from the per-process
+    shards — no host decodes another host's samples."""
     import jax
 
     data, _ = train_cfg.mesh.shape(len(jax.devices()))
-    return train_cfg.batch_size * data
+    return train_cfg.batch_size * data // jax.process_count()
 
 
 def _data_iter(data_cfg: Dict[str, Any], mode: str, batch_size: int,
@@ -77,6 +79,43 @@ def _data_iter(data_cfg: Dict[str, Any], mode: str, batch_size: int,
         # background thread keeps batches ahead of the async TPU step
         return prefetch(batches, size=data_cfg.get("prefetch", 2))
     raise ConfigError(f"unknown data kind {kind!r}")
+
+
+def _load_vq(vq_cfg_raw: Dict[str, Any], checkpoint_dir,
+             lr: float = 1e-4):
+    """Build a VQModel + its (params, batch_stats) variables, restoring
+    from a training checkpoint when given (handles both the plain VQ-SEG
+    layout and the VQ-IMG layout that carries the discriminator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.vqvae import VQModel
+    from .train.state import create_vq_train_state, make_adam
+    from .utils.checkpoint import restore_checkpoint
+    from .utils.config import OptimizerConfig
+
+    vq_cfg = VQModelConfig.from_dict(vq_cfg_raw)
+    vq = VQModel(vq_cfg)
+    tx = make_adam(OptimizerConfig(lr=lr))
+    if checkpoint_dir:
+        try:
+            from .losses.discriminator import PatchDiscriminator
+
+            template = create_vq_train_state(
+                vq, vq_cfg, tx, jax.random.PRNGKey(0),
+                disc_model=PatchDiscriminator(), disc_tx=tx)
+            restored = restore_checkpoint(checkpoint_dir, template)
+        except Exception:                               # noqa: BLE001
+            template = create_vq_train_state(vq, vq_cfg, tx,
+                                             jax.random.PRNGKey(0))
+            restored = restore_checkpoint(checkpoint_dir, template)
+        return vq, {"params": restored.params,
+                    "batch_stats": restored.batch_stats}
+    init = vq.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution,
+                              vq_cfg.in_channels)))
+    return vq, {"params": init["params"],
+                "batch_stats": init.get("batch_stats", {})}
 
 
 def main(argv=None) -> int:
@@ -123,8 +162,28 @@ def main(argv=None) -> int:
     elif mode == "train_transformer":
         tcfg = (TransformerConfig.from_dict(raw["transformer"])
                 if "transformer" in raw else TransformerConfig())
-        batches = _data_iter(raw.get("data", {}), mode,
-                             _global_batch(train_cfg), tcfg=tcfg)
+        data_cfg = raw.get("data", {})
+        if data_cfg.get("kind") == "webdataset":
+            # pixel shards -> tokens through the two frozen VQ encoders
+            # (sections: vq_seg / vq_img = {model: ..., checkpoint: ...})
+            from .data.tokenizer import HashWordTokenizer
+            from .train.loop import tokenize_batches
+
+            pixel_batches = _data_iter(
+                data_cfg, "pretrain_segmentation",
+                _global_batch(train_cfg))
+            vq_seg, seg_vars = _load_vq(raw["vq_seg"]["model"],
+                                        raw["vq_seg"].get("checkpoint"))
+            vq_img, img_vars = _load_vq(raw["vq_img"]["model"],
+                                        raw["vq_img"].get("checkpoint"))
+            tok = HashWordTokenizer(
+                vocab_size=tcfg.text_vocab_size - tcfg.text_length,
+                text_length=tcfg.text_length)
+            batches = tokenize_batches(pixel_batches, vq_seg, seg_vars,
+                                       vq_img, img_vars, tok)
+        else:
+            batches = _data_iter(data_cfg, mode,
+                                 _global_batch(train_cfg), tcfg=tcfg)
         L.run_train_transformer(train_cfg, tcfg, batches)
     elif mode == "show":
         model_cfg = (VQModelConfig.from_dict(raw["model"])
@@ -170,6 +229,9 @@ def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:
     from .utils.checkpoint import restore_checkpoint
     from .utils.logging import make_grid, save_image
 
+    from .train.state import (TransformerTrainState, create_vq_train_state,
+                              make_adam)
+
     tcfg = TransformerConfig.from_dict(raw["transformer"])
     vq_cfg = VQModelConfig.from_dict(raw["model"])
     transformer = MakeAScene(tcfg)
@@ -178,15 +240,20 @@ def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:
     b = train_cfg.batch_size
     text = jnp.zeros((b, tcfg.text_length), jnp.int32)
     seg = jnp.zeros((b, tcfg.seg_length), jnp.int32)
-    tvars = transformer.init(rng, text, seg,
-                             jnp.zeros((b, tcfg.image_length), jnp.int32))
-    vvars = vq.init(jax.random.PRNGKey(1),
-                    jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution,
-                               vq_cfg.in_channels)))
+    init_vars = transformer.init(
+        rng, text, seg, jnp.zeros((b, tcfg.image_length), jnp.int32))
+    tvars = {"params": init_vars["params"]}
     if raw.get("transformer_checkpoint"):
-        tvars = restore_checkpoint(raw["transformer_checkpoint"], tvars)
-    if raw.get("vq_checkpoint"):
-        vvars = restore_checkpoint(raw["vq_checkpoint"], vvars)
+        # checkpoints store the full TrainState (params + optimizer state
+        # + step) — restore into a matching template, then take the params
+        tx = make_adam(train_cfg.optimizer)
+        template = TransformerTrainState(
+            step=jnp.zeros((), jnp.int32), params=init_vars["params"],
+            opt_state=tx.init(init_vars["params"]))
+        restored = restore_checkpoint(raw["transformer_checkpoint"],
+                                      template)
+        tvars = {"params": restored.params}
+    vq, vvars = _load_vq(raw["model"], raw.get("vq_checkpoint"))
     imgs = sample_images(transformer, tvars, vq, vvars, text, seg, rng,
                          guidance_scale=raw.get("guidance_scale", 3.0),
                          temperature=raw.get("temperature", 1.0),

@@ -291,8 +291,11 @@ class MakeAScene(nn.Module):
         if cfg.remat:
             # recompute each layer in the backward pass (reference has no
             # analog; TPU memory lever for the 1408-token geometry)
+            # flax counts self as argnum 0: (3, 4) = return_kv,
+            # prefix_length (both static; prefix_length feeds the flash
+            # kernel's nondiff_argnums and must NOT be traced)
             layer_cls = nn.remat(TransformerLayer,
-                                 static_argnums=(2, 3))
+                                 static_argnums=(3, 4))
         self.layers = [layer_cls(cfg, name=f"layer_{i}")
                        for i in range(cfg.num_layers)]
         self.final_ln = LayerNorm(name="final_ln")

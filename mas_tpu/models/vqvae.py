@@ -153,16 +153,16 @@ class VQModel(nn.Module):
         h = self.quant_bn(h, use_running_average=not train)
         return h
 
-    def decode_latent(self, z_q):
+    def decode_latent(self, z_q, deterministic: bool = True):
         """quantized latent -> reconstruction."""
         h = self.post_quant_conv(z_q)
-        return self.decoder(h)
+        return self.decoder(h, deterministic)
 
-    def decode_trunk(self, z_q):
+    def decode_trunk(self, z_q, deterministic: bool = True):
         """quantized latent -> pre-final-conv activations (for the VQGAN
         adaptive GAN weight; see ``Decoder``)."""
         h = self.post_quant_conv(z_q)
-        return self.decoder.trunk(h)
+        return self.decoder.trunk(h, deterministic)
 
     def decode_final(self, h):
         """pre-final activations -> reconstruction (final conv only)."""
@@ -189,6 +189,8 @@ class VQModel(nn.Module):
         z_q, _ = quantize_eval(z, self.codebook_embedding)
         zf = z.astype(jnp.float32)
         zqf = z_q.astype(jnp.float32)
-        q_loss = (jnp.mean(jnp.square(zqf - zf))
-                  + self.cfg.codebook.beta * jnp.mean(jnp.square(zqf - zf)))
+        # eval-mode value of the train-step loss: the stop_gradients of
+        # quantize_train vanish outside autodiff, leaving (1 + beta) * mse
+        q_loss = (1.0 + self.cfg.codebook.beta) * jnp.mean(
+            jnp.square(zqf - zf))
         return self.decode_latent(z_q), q_loss

@@ -46,6 +46,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host pytree of arrays with batch-sharded leading axes."""
+    """Place a host pytree of arrays with batch-sharded leading axes.
+
+    Multi-host: each process passes only its LOCAL rows (its share of the
+    global batch) and the global array is assembled via
+    ``make_array_from_process_local_data`` — hosts never materialize or
+    decode other hosts' samples (each host's input pipeline produces
+    global_batch / process_count rows; see ``data.tario.shard_split``)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -49,8 +49,10 @@ def _loop(cfg: TrainConfig, state, step_fn: Callable, batches: Iterable,
           mesh, logger: Logger, to_step_args: Callable,
           image_fn: Optional[Callable] = None):
     """Shared train loop: shard batch, step, log, checkpoint."""
-    rng = jax.random.PRNGKey(cfg.seed)
+    # fold the resume step into the key so a resumed run does NOT replay
+    # the original run's random stream (reservoir sampling, CFG dropout)
     start = int(state.step)
+    rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), start)
     t0 = time.time()
     for i, batch in enumerate(batches):
         step_no = start + i

@@ -44,15 +44,22 @@ def make_seg_train_step(model: VQModel, tx,
     reuse of one state object.
     """
     cb_cfg = model.cfg.codebook
+    use_dropout = model.cfg.dropout > 0.0
 
     def loss_fn(params, batch_stats, vq_state, seg, rng):
+        rng, k_enc, k_dec = jax.random.split(rng, 3)
+        enc_rngs = {"rngs": {"dropout": k_enc}} if use_dropout else {}
+        dec_rngs = {"rngs": {"dropout": k_dec}} if use_dropout else {}
         z, updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, seg, train=True,
-            method=VQModel.encode_latent, mutable=["batch_stats"])
+            deterministic=not use_dropout,
+            method=VQModel.encode_latent, mutable=["batch_stats"],
+            **enc_rngs)
         z_q, q_loss, idx, vq_state, emb_wb, trig = quantize_train(
             z, params[EMBED_KEY], vq_state, cb_cfg, rng, impl=vq_impl)
         recon = model.apply({"params": params}, z_q,
-                            method=VQModel.decode_latent)
+                            not use_dropout,
+                            method=VQModel.decode_latent, **dec_rngs)
         loss = bce_loss_with_quant(q_loss, seg, recon, loss_cfg)
         aux = dict(q_loss=q_loss, recon=recon, indices=idx,
                    batch_stats=updates["batch_stats"], vq_state=vq_state,
@@ -104,17 +111,24 @@ def make_img_train_step(model: VQModel, disc, tx, disc_tx,
     cb_cfg = model.cfg.codebook
     use_face = face_model is not None and loss_cfg.face_loss
 
+    use_dropout = model.cfg.dropout > 0.0
+
     def g_loss_fn(params, batch_stats, vq_state, disc_vars, frozen, batch,
                   rng, step_no):
         images = batch["image"]
+        rng, k_enc, k_dec = jax.random.split(rng, 3)
+        enc_rngs = {"rngs": {"dropout": k_enc}} if use_dropout else {}
+        dec_rngs = {"rngs": {"dropout": k_dec}} if use_dropout else {}
         z, updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
-            train=True, method=VQModel.encode_latent,
-            mutable=["batch_stats"])
+            train=True, deterministic=not use_dropout,
+            method=VQModel.encode_latent,
+            mutable=["batch_stats"], **enc_rngs)
         z_q, q_loss, idx, vq_state, emb_wb, trig = quantize_train(
             z, params[EMBED_KEY], vq_state, cb_cfg, rng, impl=vq_impl)
         trunk_h = model.apply({"params": params}, z_q,
-                              method=VQModel.decode_trunk)
+                              not use_dropout,
+                              method=VQModel.decode_trunk, **dec_rngs)
         recon = model.apply({"params": params}, trunk_h,
                             method=VQModel.decode_final)
 

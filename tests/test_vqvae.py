@@ -110,3 +110,35 @@ def test_vqvae_bce_alternative_loss():
     val = float(vqvae_bce_loss(jnp.float32(0.0), targets, logits, cfg))
     # sigmoid(0)=0.5 -> mse 0.25; bce = ln 2
     assert abs(val - (0.25 + 0.6931)) < 1e-3
+
+
+def test_dropout_active_in_training():
+    """cfg.dropout > 0 must actually drop during train steps (reference
+    applies training-mode dropout; previously the knob was inert)."""
+    import jax
+
+    from mas_tpu.models.vqvae import VQModel
+    from mas_tpu.train.state import create_vq_train_state, make_adam
+    from mas_tpu.train.steps import make_seg_train_step
+    from mas_tpu.utils.config import (CodebookConfig, OptimizerConfig,
+                                      SegLossConfig, VQModelConfig)
+
+    cfg = VQModelConfig(
+        in_channels=8, out_channels=8, resolution=16, channels=(32, 32),
+        num_res_blocks=1, attn_resolutions=(), z_channels=32, embed_dim=32,
+        dropout=0.5,
+        codebook=CodebookConfig(codebook_size=8, codebook_dim=32,
+                                init_steps=100, reservoir_size=16))
+    model = VQModel(cfg)
+    tx = make_adam(OptimizerConfig(lr=0.0))   # lr 0: isolate dropout effect
+    state = create_vq_train_state(model, cfg, tx, jax.random.PRNGKey(0))
+    step = make_seg_train_step(
+        model, tx, SegLossConfig(image_channels=8, face_channel_start=2,
+                                 face_channel_end=4), vq_impl="jnp",
+        donate=False)
+    seg = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(1), (2, 16, 16), 0, 8), 8)
+    _, m1 = step(state, seg, jax.random.PRNGKey(10))
+    _, m2 = step(state, seg, jax.random.PRNGKey(20))
+    # different dropout masks -> different losses at identical params
+    assert float(m1["loss"]) != float(m2["loss"])
