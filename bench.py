@@ -85,8 +85,9 @@ def build_pipeline(resolution: int = 256):
         n = toks.shape[0]
         if n <= CHUNK:
             return vq.apply(v, toks, method=VQModel.decode_code)
-        assert n % CHUNK == 0, n
-        chunks = toks.reshape(n // CHUNK, CHUNK, *toks.shape[1:])
+        # largest chunk <= CHUNK dividing n (n is a static shape)
+        chunk = max(c for c in range(1, CHUNK + 1) if n % c == 0)
+        chunks = toks.reshape(n // chunk, chunk, *toks.shape[1:])
         out = jax.lax.map(
             lambda t: vq.apply(v, t, method=VQModel.decode_code), chunks)
         return out.reshape(n, *out.shape[2:])

@@ -99,9 +99,25 @@ def run_pretrain_segmentation(train_cfg: TrainConfig,
     state = _maybe_resume(train_cfg, state)
     step = make_seg_train_step(model, tx, loss_cfg)
     logger = logger or Logger(process_index=jax.process_index())
+    eval_step = make_seg_eval_step(model)
+    viz = Visualizer()
+
+    def image_fn(step_no, st, batch):
+        # input ‖ reconstruction grids (reference logs every 500 steps,
+        # log_utils.py:24); seg tensors colorized per group
+        if step_no % logger.image_period:
+            return
+        seg = batch["mask"][:4]
+        recon, _ = eval_step(st.params, st.batch_stats, seg)
+        logger.log(step=step_no,
+                   img=viz.colorize(np.asarray(seg))["panoptic"],
+                   img_rec=viz.colorize(np.asarray(recon),
+                                        logits=True)["panoptic"])
+
     with jax.set_mesh(mesh):
         state = _loop(train_cfg, state, step, batches, mesh, logger,
-                      to_step_args=lambda b: (b["mask"],))
+                      to_step_args=lambda b: (b["mask"],),
+                      image_fn=image_fn)
     return state
 
 
@@ -146,11 +162,26 @@ def run_pretrain_image(train_cfg: TrainConfig, model_cfg: VQModelConfig,
     step = make_img_train_step(model, disc, tx, disc_tx, loss_cfg, lpips,
                                face_model=face)
     logger = logger or Logger(process_index=jax.process_index())
+
+    @jax.jit
+    def _recon(params, batch_stats, images):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           images)[0]
+
+    def image_fn(step_no, st, batch):
+        if step_no % logger.image_period:
+            return
+        images = batch["image"][:4]
+        recon = _recon(st.params, st.batch_stats, images)
+        logger.log(step=step_no, img=np.asarray(images),
+                   img_rec=np.clip(np.asarray(recon), 0.0, 1.0))
+
     with jax.set_mesh(mesh):
         state = _loop(
             train_cfg, state,
             lambda s, b, k: step(s, b, frozen, k),
-            batches, mesh, logger, to_step_args=lambda b: (b,))
+            batches, mesh, logger, to_step_args=lambda b: (b,),
+            image_fn=image_fn)
     return state
 
 
