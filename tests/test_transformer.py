@@ -198,3 +198,33 @@ def test_remat_matches_plain():
     for a, b in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sample_images_chunked_decode():
+    """sample_images decodes pixels in lax.map chunks when the batch
+    divides; output matches the unchunked path."""
+    from mas_tpu.models.sampler import sample_images
+    from mas_tpu.models.vqvae import VQModel
+    from mas_tpu.utils.config import CodebookConfig, VQModelConfig
+
+    model = MakeAScene(TINY)
+    text, seg, img = make_inputs(jax.random.PRNGKey(0), batch=4)
+    variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+    vq_cfg = VQModelConfig(
+        in_channels=3, out_channels=3,
+        resolution=TINY.image_tokens_per_dim * 2, channels=(32, 32, 32),
+        num_res_blocks=1, attn_resolutions=(), z_channels=32, embed_dim=32,
+        codebook=CodebookConfig(codebook_size=TINY.image_vocab_size,
+                                codebook_dim=32))
+    vq = VQModel(vq_cfg)
+    vvars = vq.init(jax.random.PRNGKey(2),
+                    jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution, 3)))
+    out_chunked = sample_images(model, variables, vq, vvars, text, seg,
+                                jax.random.PRNGKey(3), guidance_scale=2.0,
+                                top_k=8, decode_chunk=2)
+    out_full = sample_images(model, variables, vq, vvars, text, seg,
+                             jax.random.PRNGKey(3), guidance_scale=2.0,
+                             top_k=8, decode_chunk=0)
+    assert out_chunked.shape == (4, vq_cfg.resolution, vq_cfg.resolution, 3)
+    np.testing.assert_allclose(np.asarray(out_chunked),
+                               np.asarray(out_full), atol=1e-5)
