@@ -294,8 +294,11 @@ class MakeAScene(nn.Module):
             # flax counts self as argnum 0: (3, 4) = return_kv,
             # prefix_length (both static; prefix_length feeds the flash
             # kernel's nondiff_argnums and must NOT be traced)
+            policy = (jax.checkpoint_policies.dots_saveable
+                      if cfg.remat_policy == "dots" else None)
             layer_cls = nn.remat(TransformerLayer,
-                                 static_argnums=(3, 4))
+                                 static_argnums=(3, 4),
+                                 policy=policy)
         self.layers = [layer_cls(cfg, name=f"layer_{i}")
                        for i in range(cfg.num_layers)]
         self.final_ln = LayerNorm(name="final_ln")

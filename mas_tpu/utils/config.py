@@ -215,6 +215,10 @@ class TransformerConfig(_Base):
     # (jax.checkpoint): trades ~30% step FLOPs for O(layers) less
     # activation memory — the standard lever for the 1408-token geometry
     remat: bool = False
+    # what the remat saves: 'nothing' (max memory savings, full recompute)
+    # or 'dots' (save matmul outputs, recompute only the cheap elementwise
+    # tail — recovers most of the recompute cost at moderate memory)
+    remat_policy: str = "nothing"
 
     def __post_init__(self):
         if self.hidden_dim % self.num_attn_heads:
