@@ -46,7 +46,8 @@ def build_pipeline(resolution: int = 256):
         image_vocab_size=8192, seg_vocab_size=1024,
         text_vocab_size=16384 + 128,
         image_tokens_per_dim=tokens_per_dim, seg_tokens_per_dim=16,
-        text_length=128, compute_dtype="bfloat16")
+        text_length=128, compute_dtype="bfloat16",
+        kv_cache_dtype="int8")   # serving config: +45% (see BASELINE.md)
     vcfg = VQModelConfig(
         in_channels=3, out_channels=3, resolution=resolution,
         attn_resolutions=(resolution // 16,), compute_dtype="bfloat16",

@@ -70,16 +70,31 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
     # layout [B, H, hd, total] (sequence in lanes — see
     # mas_tpu.ops.decode_attention); prefix occupies [0, prefix_length)
     from ..ops.decode_attention import transpose_cache
+    from ..ops.quant import QuantCache, quantize_kv
 
     total = cfg.total_length
-    full = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, total),
-                     caches[0][0].dtype)
-    caches = tuple(
-        (jax.lax.dynamic_update_slice(full, transpose_cache(k),
-                                      (0, 0, 0, 0)),
-         jax.lax.dynamic_update_slice(full, transpose_cache(v),
-                                      (0, 0, 0, 0)))
-        for k, v in caches)
+    if cfg.kv_cache_dtype == "int8":
+        q_full = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, total),
+                           jnp.int8)
+        s_full = jnp.ones((bb, cfg.num_attn_heads, 1, total), jnp.float32)
+
+        def seed(kv):
+            qc = quantize_kv(transpose_cache(kv))
+            return QuantCache(
+                jax.lax.dynamic_update_slice(q_full, qc.q, (0, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(s_full, qc.scale,
+                                             (0, 0, 0, 0)))
+
+        caches = tuple((seed(k), seed(v)) for k, v in caches)
+    else:
+        full = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, total),
+                         caches[0][0].dtype)
+        caches = tuple(
+            (jax.lax.dynamic_update_slice(full, transpose_cache(k),
+                                          (0, 0, 0, 0)),
+             jax.lax.dynamic_update_slice(full, transpose_cache(v),
+                                          (0, 0, 0, 0)))
+            for k, v in caches)
 
     rng, r0 = jax.random.split(rng)
     tok0 = _sample_logits(_guided(logits0, b, guidance_scale), r0,

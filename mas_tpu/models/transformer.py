@@ -149,14 +149,24 @@ class SelfAttention(nn.Module):
 
         Attention over the cache is masked to positions <= index (the
         PB-relax max-shift cancels in softmax, so this IS the reference
-        semantics); on TPU this runs the HBM-resident fused decode kernel
-        (``mas_tpu.ops.decode_attention``) which DMAs only the valid
-        blocks instead of reading the whole padded cache."""
+        semantics).  Caches may be int8 ``QuantCache``s (per-position
+        symmetric quantization, ``ops/quant.py``) — halves the cache HBM
+        traffic that dominates large-batch decode."""
         from ..ops.decode_attention import decode_attention
+        from ..ops.quant import (QuantCache, decode_attention_int8,
+                                 update_quant_cache)
 
         cfg = self.cfg
         b = x.shape[0]
         q, k_new, v_new = self._qkv(x)
+        if isinstance(k_cache, QuantCache):
+            k_cache = update_quant_cache(
+                k_cache, k_new.transpose(0, 1, 3, 2), index)
+            v_cache = update_quant_cache(
+                v_cache, v_new.transpose(0, 1, 3, 2), index)
+            ctx = decode_attention_int8(q, k_cache, v_cache, index)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
+            return self.out_proj(ctx), (k_cache, v_cache)
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, k_new.transpose(0, 1, 3, 2).astype(k_cache.dtype),
             (0, 0, 0, index))

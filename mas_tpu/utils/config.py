@@ -219,6 +219,10 @@ class TransformerConfig(_Base):
     # or 'dots' (save matmul outputs, recompute only the cheap elementwise
     # tail — recovers most of the recompute cost at moderate memory)
     remat_policy: str = "nothing"
+    # decode KV-cache storage: 'compute' (same dtype as activations) or
+    # 'int8' (symmetric per-position quantization — halves the cache HBM
+    # traffic that dominates large-batch decode; see ops/quant.py)
+    kv_cache_dtype: str = "compute"
 
     def __post_init__(self):
         if self.hidden_dim % self.num_attn_heads:

@@ -148,3 +148,83 @@ class TestDecodeAttention:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             atol=2e-2)
+
+
+class TestInt8KVCache:
+    def test_quantize_roundtrip_error_bound(self):
+        from mas_tpu.ops.quant import dequantize_kv, quantize_kv
+
+        kv = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 64, 32))
+        qc = quantize_kv(kv)
+        assert qc.q.dtype == jnp.int8
+        err = np.max(np.abs(np.asarray(dequantize_kv(qc)) - np.asarray(kv)))
+        # symmetric int8: error <= scale/2 = max|kv| / 254 per position
+        assert err <= float(jnp.max(jnp.abs(kv))) / 254 + 1e-6
+
+    def test_int8_decode_matches_dequantized_exact(self):
+        from mas_tpu.ops.decode_attention import decode_attention_jnp
+        from mas_tpu.ops.quant import (decode_attention_int8, quantize_kv,
+                                       update_quant_cache)
+
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        q = jax.random.normal(ks[0], (2, 2, 1, 64))
+        k_t = jax.random.normal(ks[1], (2, 2, 64, 128))
+        v_t = jax.random.normal(ks[2], (2, 2, 64, 128))
+        kq, vq = quantize_kv(k_t), quantize_kv(v_t)
+        idx = jnp.int32(100)
+        out8 = decode_attention_int8(q, kq, vq, idx)
+        # exact attention over the SAME dequantized values must match
+        from mas_tpu.ops.quant import dequantize_kv
+        ref = decode_attention_jnp(q, dequantize_kv(kq), dequantize_kv(vq),
+                                   idx)
+        np.testing.assert_allclose(np.asarray(out8), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+        # and stay close to the unquantized attention
+        full = decode_attention_jnp(q, k_t, v_t, idx)
+        assert np.max(np.abs(np.asarray(out8) - np.asarray(full))) < 0.05
+
+    def test_update_quant_cache_write(self):
+        from mas_tpu.ops.quant import (dequantize_kv, quantize_kv,
+                                       update_quant_cache)
+
+        k_t = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 8, 16))
+        qc = quantize_kv(k_t)
+        new = jnp.full((1, 2, 8, 1), 3.0)
+        qc2 = update_quant_cache(qc, new, jnp.int32(5))
+        deq = np.asarray(dequantize_kv(qc2))
+        np.testing.assert_allclose(deq[0, :, :, 5], 3.0, rtol=1e-2)
+        # other positions untouched
+        np.testing.assert_allclose(deq[0, :, :, 4],
+                                   np.asarray(dequantize_kv(qc))[0, :, :, 4])
+
+    def test_sampler_with_int8_cache(self):
+        """End-to-end sampling with the int8 cache: valid tokens, and (at
+        tiny scale) mostly identical samples to the fp path."""
+        from mas_tpu.models.sampler import sample_tokens
+        from mas_tpu.models.transformer import MakeAScene
+        from mas_tpu.utils.config import TransformerConfig
+
+        base = dict(num_layers=2, hidden_dim=64, num_attn_heads=8,
+                    image_vocab_size=128, seg_vocab_size=128,
+                    text_vocab_size=128 + 16, image_tokens_per_dim=4,
+                    seg_tokens_per_dim=2, text_length=16)
+        cfg_fp = TransformerConfig(**base)
+        cfg_q = TransformerConfig(**base, kv_cache_dtype="int8")
+        rng = jax.random.PRNGKey(0)
+        text = jax.random.randint(rng, (2, 16), 1, 100)
+        seg = jax.random.randint(rng, (2, 4), 0, 128)
+        m_fp = MakeAScene(cfg_fp)
+        variables = m_fp.init(jax.random.PRNGKey(1), text, seg,
+                              jnp.zeros((2, 16), jnp.int32))
+        toks_fp = sample_tokens(m_fp, variables, text, seg,
+                                jax.random.PRNGKey(2), guidance_scale=2.0,
+                                top_k=8)
+        m_q = MakeAScene(cfg_q)
+        toks_q = sample_tokens(m_q, variables, text, seg,
+                               jax.random.PRNGKey(2), guidance_scale=2.0,
+                               top_k=8)
+        assert toks_q.shape == toks_fp.shape
+        assert int(toks_q.max()) < cfg_q.image_vocab_size
+        # same rng + near-identical logits -> overwhelmingly equal samples
+        agree = float(np.mean(np.asarray(toks_q) == np.asarray(toks_fp)))
+        assert agree > 0.8, agree
