@@ -42,7 +42,13 @@ def _global_batch(train_cfg: TrainConfig) -> int:
     import jax
 
     data, _ = train_cfg.mesh.shape(len(jax.devices()))
-    return train_cfg.batch_size * data // jax.process_count()
+    total = train_cfg.batch_size * data
+    if total % jax.process_count():
+        raise ConfigError(
+            f"global batch {total} (batch_size {train_cfg.batch_size} x "
+            f"data axis {data}) must divide the process count "
+            f"{jax.process_count()}")
+    return total // jax.process_count()
 
 
 def _data_iter(data_cfg: Dict[str, Any], mode: str, batch_size: int,
@@ -225,21 +231,33 @@ def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:
 
     from .models.sampler import sample_images
     from .models.transformer import MakeAScene
-    from .models.vqvae import VQModel
     from .utils.checkpoint import restore_checkpoint
     from .utils.logging import make_grid, save_image
-
-    from .train.state import (TransformerTrainState, create_vq_train_state,
-                              make_adam)
+    from .data.tokenizer import HashWordTokenizer
+    from .train.state import TransformerTrainState, make_adam
 
     tcfg = TransformerConfig.from_dict(raw["transformer"])
-    vq_cfg = VQModelConfig.from_dict(raw["model"])
     transformer = MakeAScene(tcfg)
-    vq = VQModel(vq_cfg)
     rng = jax.random.PRNGKey(train_cfg.seed)
-    b = train_cfg.batch_size
-    text = jnp.zeros((b, tcfg.text_length), jnp.int32)
-    seg = jnp.zeros((b, tcfg.seg_length), jnp.int32)
+    captions = raw.get("captions") or []
+    b = len(captions) or train_cfg.batch_size
+    if captions:
+        tok = HashWordTokenizer(
+            vocab_size=tcfg.text_vocab_size - tcfg.text_length,
+            text_length=tcfg.text_length)
+        text = jnp.asarray(tok(captions))
+    else:
+        # no captions => all-pad text = unconditional sampling (exactly
+        # the CFG-dropout distribution the model trained on)
+        text = jnp.zeros((b, tcfg.text_length), jnp.int32)
+    if raw.get("seg_tokens_file"):
+        seg_np = np.load(raw["seg_tokens_file"])
+        if hasattr(seg_np, "files"):
+            seg_np = seg_np[seg_np.files[0]]
+        seg = jnp.asarray(
+            np.asarray(seg_np).reshape(b, tcfg.seg_length), jnp.int32)
+    else:
+        seg = jnp.zeros((b, tcfg.seg_length), jnp.int32)
     init_vars = transformer.init(
         rng, text, seg, jnp.zeros((b, tcfg.image_length), jnp.int32))
     tvars = {"params": init_vars["params"]}

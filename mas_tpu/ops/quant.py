@@ -55,13 +55,10 @@ def dequantize_kv(cache: QuantCache) -> jax.Array:
 def update_quant_cache(cache: QuantCache, new_t: jax.Array,
                        index) -> QuantCache:
     """Write one new position (``new_t`` [B, H, d, 1]) at ``index``."""
-    f = new_t.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(f), axis=2, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
+    qc = quantize_kv(new_t)
     return QuantCache(
-        q=jax.lax.dynamic_update_slice(cache.q, q, (0, 0, 0, index)),
-        scale=jax.lax.dynamic_update_slice(cache.scale, scale,
+        q=jax.lax.dynamic_update_slice(cache.q, qc.q, (0, 0, 0, index)),
+        scale=jax.lax.dynamic_update_slice(cache.scale, qc.scale,
                                            (0, 0, 0, index)))
 
 

@@ -64,7 +64,8 @@ def _loop(cfg: TrainConfig, state, step_fn: Callable, batches: Iterable,
                       if not isinstance(v, list)}
             n_data = mesh.shape["data"]
             b = next(iter(arrays.values())).shape[0]
-            if b % n_data == 0:
+            # b is per-PROCESS; the global batch must tile the data axis
+            if (b * jax.process_count()) % n_data == 0:
                 sharded = shard_batch(mesh, arrays)
             else:
                 # batch smaller than the data axis (tiny tests): replicate
@@ -78,10 +79,18 @@ def _loop(cfg: TrainConfig, state, step_fn: Callable, batches: Iterable,
             logger.log(step=step_no + 1, steps_per_sec=np.float32(rate),
                        **{k: np.float32(v) for k, v in host.items()})
             if image_fn is not None:
-                image_fn(step_no + 1, state, sharded)
+                # host-local arrays: sharded global arrays are not fully
+                # addressable on multi-host, so grids render from the
+                # process-local rows
+                image_fn(step_no + 1, state, arrays)
         if (step_no + 1) % cfg.save_period == 0 or \
                 (step_no + 1) == cfg.total_steps:
             save_checkpoint(cfg.checkpoint_dir, state, step_no + 1)
+    # the data iterator may exhaust before total_steps (finite dataset):
+    # persist whatever progress the last save_period boundary missed
+    final = int(state.step)
+    if final > start and latest_step(cfg.checkpoint_dir) != final:
+        save_checkpoint(cfg.checkpoint_dir, state, final)
     return state
 
 

@@ -239,3 +239,30 @@ def test_run_show_saves_grids(tmp_path):
                      n_samples=4, out_dir=str(tmp_path / "results"))
     assert len(paths) == 2
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_cli_sample_with_captions(tmp_path):
+    """--mode sample: captions tokenize into the conditional stream (the
+    inference script the reference never shipped), image saved."""
+    from mas_tpu.cli import main
+
+    cfg = {
+        "train": {"mode": "sample", "batch_size": 2, "seed": 0},
+        "transformer": {
+            "num_layers": 1, "hidden_dim": 64, "num_attn_heads": 4,
+            "image_vocab_size": 16, "seg_vocab_size": 16,
+            "text_vocab_size": 64 + 8, "image_tokens_per_dim": 4,
+            "seg_tokens_per_dim": 2, "text_length": 8},
+        "model": {"in_channels": 3, "out_channels": 3, "resolution": 8,
+                  "channels": [32, 32], "num_res_blocks": 1,
+                  "attn_resolutions": [], "z_channels": 32, "embed_dim": 32,
+                  "codebook": {"codebook_size": 16, "codebook_dim": 32}},
+        "captions": ["a cat", "a dog"],
+        "guidance_scale": 2.0,
+        "top_k": 4,
+        "output": str(tmp_path / "out.jpg"),
+    }
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    assert main(["--config", str(path)]) == 0
+    assert os.path.exists(tmp_path / "out.jpg")
