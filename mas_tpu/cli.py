@@ -46,7 +46,7 @@ def _global_batch(train_cfg: TrainConfig) -> int:
     if total % jax.process_count():
         raise ConfigError(
             f"global batch {total} (batch_size {train_cfg.batch_size} x "
-            f"data axis {data}) must divide the process count "
+            f"data axis {data}) must be divisible by the process count "
             f"{jax.process_count()}")
     return total // jax.process_count()
 

@@ -114,9 +114,13 @@ class PreprocessedWebDataset:
             "caption": raw.get("txt", b"").decode("utf-8", "replace"),
         }
         if self.need_seg:
-            sample["mask"] = assemble_seg_map(
+            # Resize + center-crop the mask jointly with the image (the
+            # reference applies SmallestMaxSize+CenterCrop to both,
+            # dataset_preprocessor_web.py:36-38); nearest keeps labels crisp.
+            mask = assemble_seg_map(
                 npz["seg_panoptic"], npz["edge_panoptic"],
                 npz["seg_human"], npz["edge_human"], npz["seg_face"])
+            sample["mask"] = center_crop(_resize_mask_nearest(mask, res), res)
         box_things = _shift_boxes(
             [list(map(float, b)) for b in npz["box_things"]], dx, dy, scale)
         box_face = _shift_boxes(

@@ -141,13 +141,16 @@ def _local_worker(paths: List[str], out_dir: str, kind: str, ann: Annotator,
 
 def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
                    machine_idx: int = 0, machines_total: int = 1,
-                   max_repack: int = 4) -> List[str]:
+                   max_repack: int = 4, max_ahead: int = 4) -> List[str]:
     """Annotate every sample of every shard, then repack processed shards.
 
     Returns the list of written output tar paths.  The coordinator consumes
     ``{kind}/{worker}/{done}/{tar}`` messages and repacks once all
     annotator kinds report a tar complete (reference ready-queue protocol,
-    ``preprocessor_web.py:157-232``).
+    ``preprocessor_web.py:157-232``).  ``max_ahead`` bounds how many shards
+    a fast annotator may run ahead of the slowest one — the reference's
+    disk-pressure throttle (``preprocessor_web.py:64,130-134,186-194``);
+    scratch npz files for unrepacked shards are what the bound caps.
     """
     os.makedirs(out_dir, exist_ok=True)
     scratch = os.path.join(out_dir, "_scratch")
@@ -156,10 +159,13 @@ def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
               if i % machines_total == machine_idx]
 
     ready: mp.Queue = mp.Queue()
+    # per-kind completed-shard counters, shared for the run-ahead throttle
+    done_counters = mp.Array("i", len(annotators))
     procs = []
-    for kind, ann in annotators.items():
+    for idx, (kind, ann) in enumerate(annotators.items()):
         p = mp.Process(target=_web_worker,
-                       args=(shards, scratch, kind, ann, ready))
+                       args=(shards, scratch, kind, ann, ready,
+                             done_counters, idx, max_ahead))
         p.start()
         procs.append(p)
 
@@ -171,7 +177,22 @@ def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
     finished_workers = 0
     repack_procs: List[mp.Process] = []
     while finished_workers < n_kinds:
-        msg = ready.get()
+        try:
+            msg = ready.get(timeout=5.0)
+        except Exception:                              # queue.Empty
+            # Liveness check: a worker that died without its exit sentinel
+            # (e.g. SIGKILL) would otherwise block this loop forever.
+            dead = [p for p in procs if not p.is_alive()
+                    and p.exitcode not in (0, None)]
+            if dead:
+                for p in procs + repack_procs:
+                    p.terminate()
+                raise RuntimeError(
+                    f"annotator worker(s) died: "
+                    f"{[p.exitcode for p in dead]}") from None
+            if all(not p.is_alive() for p in procs):
+                break                     # all exited cleanly, queue drained
+            continue
         kind, worker, event, tar = msg.split("/", 3)
         if event == "exit":
             finished_workers += 1
@@ -198,22 +219,43 @@ def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
     return outputs
 
 
+def _scratch_name(shard: str, key: str, kind: str) -> str:
+    """Scratch npz name, namespaced by shard so identical sample keys in
+    different shards never collide (see repack_single_tar)."""
+    base = os.path.splitext(os.path.basename(shard))[0]
+    return f"{base}__{key}_{kind}.npz"
+
+
 def _web_worker(shards: List[str], scratch: str, kind: str, ann: Annotator,
-                ready: mp.Queue) -> None:
+                ready: mp.Queue, done_counters, idx: int,
+                max_ahead: int) -> None:
     from .dataset import decode_jpg
 
-    for shard in shards:
-        base = os.path.basename(shard)
-        ready.put(f"{kind}/0/started/{shard}")
-        for sample in iter_tar_samples(shard):
-            if "jpg" not in sample:
-                continue
-            img = decode_jpg(sample["jpg"])  # type: ignore[arg-type]
-            key = sample["__key__"]
-            np.savez(os.path.join(scratch, f"{key}_{kind}.npz"),
-                     **ann(img))
-        ready.put(f"{kind}/0/done/{shard}")
-    ready.put(f"{kind}/0/exit/-")
+    try:
+        for shard in shards:
+            # run-ahead throttle: wait until the slowest annotator is within
+            # max_ahead shards (reference preprocessor_web.py:186-194)
+            while True:
+                with done_counters.get_lock():
+                    lag = done_counters[idx] - min(done_counters)
+                if lag < max_ahead:
+                    break
+                time.sleep(0.05)
+            ready.put(f"{kind}/0/started/{shard}")
+            for sample in iter_tar_samples(shard):
+                if "jpg" not in sample:
+                    continue
+                img = decode_jpg(sample["jpg"])  # type: ignore[arg-type]
+                key = sample["__key__"]
+                np.savez(os.path.join(
+                    scratch, _scratch_name(shard, key, kind)), **ann(img))
+            with done_counters.get_lock():
+                done_counters[idx] += 1
+            ready.put(f"{kind}/0/done/{shard}")
+    finally:
+        # Always enqueue the exit sentinel, even on worker exceptions, so
+        # the coordinator never blocks forever on ready.get().
+        ready.put(f"{kind}/0/exit/-")
 
 
 def repack_single_tar(src_tar: str, scratch: str, out_tar: str,
@@ -227,7 +269,8 @@ def repack_single_tar(src_tar: str, scratch: str, out_tar: str,
             merged: Dict[str, np.ndarray] = {}
             ok = True
             for kind in kinds:
-                path = os.path.join(scratch, f"{key}_{kind}.npz")
+                path = os.path.join(scratch,
+                                    _scratch_name(src_tar, key, kind))
                 if not os.path.exists(path):
                     ok = False
                     break

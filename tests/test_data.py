@@ -143,6 +143,46 @@ def test_web_dataset_end_to_end(tmp_path):
     assert batch["bbox_obj"].shape == (2, 4, 4)
 
 
+def test_web_dataset_resizes_mask_with_image(tmp_path):
+    """Non-square, non-target-res source: mask must be resized+center-cropped
+    jointly with the image (reference dataset_preprocessor_web.py:36-38)."""
+    from PIL import Image
+
+    res, h0, w0 = 64, 90, 70
+    tar = str(tmp_path / "shard0.tar")
+    img = np.zeros((h0, w0, 3), np.uint8)
+    # panoptic class 5 (mask channel index 5: the +1 shift is cancelled by
+    # dropping the null channel) fills exactly the top half of the source
+    seg = np.full((h0, w0), -1, np.int64)
+    seg[:h0 // 2] = 5
+    with tarfile.open(tar, "w") as tf:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG")
+        _add(tf, "000000.jpg", buf.getvalue())
+        npz_buf = io.BytesIO()
+        np.savez(npz_buf, seg_panoptic=seg,
+                 edge_panoptic=np.zeros((h0, w0), np.int64),
+                 seg_human=np.full((h0, w0), -1, np.int64),
+                 edge_human=np.zeros((h0, w0), np.int64),
+                 seg_face=np.zeros((h0, w0), np.int64),
+                 box_things=np.zeros((0, 4), np.float32),
+                 box_face=np.zeros((0, 4), np.float32))
+        _add(tf, "000000.npz", npz_buf.getvalue())
+
+    (s,) = list(PreprocessedWebDataset(tar, resolution=res))
+    assert s["image"].shape == (res, res, 3)
+    assert s["mask"].shape == (res, res, NUM_SEG_CHANNELS)
+    # source is taller than wide: scale = 64/70, resized (82, 64), crop rows
+    # [9, 73); the class-5 stripe covers source rows [0, 45) -> resized rows
+    # [0, ~41) -> cropped rows [0, ~32): the top ~half must be class 5 and
+    # the bottom ~half null
+    ch5 = s["mask"][..., 5]
+    frac = ch5.mean()
+    assert 0.4 < frac < 0.6, frac
+    assert ch5[:16].all(), "top quarter should be class 5"
+    assert not ch5[-16:].any(), "bottom quarter should be null"
+
+
 def test_pipe_url_streaming(tmp_path):
     tar = str(tmp_path / "shard0.tar")
     _write_sample_tar(tar)
