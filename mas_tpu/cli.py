@@ -132,6 +132,15 @@ def main(argv=None) -> int:
                     help="override the config's train.mode")
     args = ap.parse_args(argv)
 
+    # Multi-host rendezvous BEFORE any device use (the reference orders
+    # dist.init_process_group ahead of training, train.py:20-34); no-ops on
+    # single-process runs, so call it unconditionally.
+    from .parallel.distributed import initialize
+
+    topo = initialize()
+    if topo["process_index"] == 0 and topo["process_count"] > 1:
+        print(f"multi-host topology: {topo}")
+
     raw = _load(args.config)
     train_raw = dict(raw.get("train", {}))
     if args.mode:

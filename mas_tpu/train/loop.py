@@ -67,9 +67,15 @@ def _loop(cfg: TrainConfig, state, step_fn: Callable, batches: Iterable,
             # b is per-PROCESS; the global batch must tile the data axis
             if (b * jax.process_count()) % n_data == 0:
                 sharded = shard_batch(mesh, arrays)
-            else:
-                # batch smaller than the data axis (tiny tests): replicate
+            elif cfg.allow_replicated_batch:
+                # tiny-test escape hatch: replicate (opt-in via config)
                 sharded = {k: jax.device_put(v) for k, v in arrays.items()}
+            else:
+                raise ValueError(
+                    f"global batch {b * jax.process_count()} (host batch {b}"
+                    f" x {jax.process_count()} processes) does not tile the "
+                    f"data axis ({n_data}); fix batch_size/mesh, or set "
+                    f"train.allow_replicated_batch=true for tiny tests")
         with jax.profiler.StepTraceAnnotation("train_step", step_num=step_no):
             state, metrics = step_fn(state, *to_step_args(sharded), key)
         if (step_no + 1) % cfg.log_period == 0:

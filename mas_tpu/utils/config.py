@@ -319,6 +319,10 @@ class TrainConfig(_Base):
     mesh: MeshConfig = field(default_factory=MeshConfig)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     disc_optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    # tiny-test escape hatch: replicate batches that don't tile the data
+    # axis instead of raising (never enable in production — it silently
+    # runs every device over the same rows)
+    allow_replicated_batch: bool = False
 
     def __post_init__(self):
         valid = {"pretrain_segmentation", "pretrain_image", "train_transformer"}

@@ -84,7 +84,7 @@ def test_full_pipeline(tmp_path):
     seg_cfg = _tiny_vq_cfg(159, 159)
     train_cfg = TrainConfig(
         mode="pretrain_segmentation", total_steps=2, batch_size=4,
-        log_period=1, save_period=100,
+        log_period=1, save_period=100, allow_replicated_batch=True,
         checkpoint_dir=str(tmp_path / "ckpt_seg"),
         optimizer=OptimizerConfig(lr=1e-3))
     seg_state = run_pretrain_segmentation(

@@ -18,6 +18,7 @@ from mas_tpu.utils.config import (CodebookConfig, OptimizerConfig,
 def _tiny_seg_cfg(tmp):
     train = TrainConfig(mode="pretrain_segmentation", total_steps=3,
                         batch_size=2, log_period=1, save_period=3,
+                        allow_replicated_batch=True,
                         checkpoint_dir=str(tmp / "ckpt"),
                         optimizer=OptimizerConfig(lr=1e-3))
     model = VQModelConfig(
@@ -60,6 +61,7 @@ def test_run_transformer_loop(tmp_path):
                              seg_tokens_per_dim=2, text_length=4)
     train = TrainConfig(mode="train_transformer", total_steps=2,
                         batch_size=2, log_period=1, save_period=10,
+                        allow_replicated_batch=True,
                         checkpoint_dir=str(tmp_path / "ckpt"),
                         optimizer=OptimizerConfig(lr=1e-3))
     state = run_train_transformer(
@@ -126,7 +128,7 @@ def test_cli_seg_smoke(tmp_path):
 
     cfg = {
         "train": {"mode": "pretrain_segmentation", "total_steps": 1,
-                  "batch_size": 2, "log_period": 1, "save_period": 1,
+                  "batch_size": 2, "log_period": 1, "save_period": 1, "allow_replicated_batch": True,
                   "checkpoint_dir": str(tmp_path / "ckpt"),
                   "optimizer": {"lr": 1e-3}},
         "model": {"in_channels": 159, "out_channels": 159, "resolution": 32,
@@ -142,6 +144,44 @@ def test_cli_seg_smoke(tmp_path):
     path.write_text(json.dumps(cfg))
     assert main(["--config", str(path)]) == 0
     assert os.path.exists(tmp_path / "ckpt" / "latest")
+
+
+def test_loop_raises_on_untiled_batch(tmp_path):
+    """A global batch that doesn't tile the data axis must raise (not
+    silently replicate) unless allow_replicated_batch is set."""
+    from mas_tpu.data.dataset import SyntheticSegBatches
+    from mas_tpu.train.loop import run_pretrain_segmentation
+    from mas_tpu.utils.logging import Logger
+
+    train, model = _tiny_seg_cfg(tmp_path)
+    train = train.replace(allow_replicated_batch=False)   # batch 2, 8 devices
+    with pytest.raises(ValueError, match="does not tile the data axis"):
+        run_pretrain_segmentation(
+            train, model, iter(SyntheticSegBatches(2, resolution=32)),
+            logger=Logger(str(tmp_path / "logs"), use_tensorboard=False))
+
+
+def test_cli_calls_distributed_initialize(tmp_path, monkeypatch):
+    """cli.main must run the multi-host rendezvous before training
+    (reference train.py:20-34 orders init_process_group first)."""
+    import mas_tpu.parallel.distributed as dist
+    from mas_tpu.cli import main
+    from mas_tpu.utils.config import ConfigError
+
+    calls = []
+    real = dist.initialize
+
+    def spy(*a, **k):
+        calls.append(True)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dist, "initialize", spy)
+    cfg = {"train": {"mode": "definitely_invalid"}}
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    with pytest.raises(ConfigError):
+        main(["--config", str(path)])
+    assert calls, "initialize() was not called from cli.main"
 
 
 def test_cli_rejects_unknown_keys(tmp_path):
