@@ -60,6 +60,11 @@ def resolve_attention_impl(cfg: TransformerConfig, seq_len: int) -> str:
     Hence: pallas on TPU for long (>=1024-token) block-tileable sequences,
     jnp otherwise.  Explicit cfg.attention_impl overrides.
     """
+    if cfg.rudalle_relax:
+        # the sigma division after the midpoint shift rescales the logits —
+        # NOT a softmax-invariant shift — so the flash kernel's standard
+        # softmax would compute a different distribution; always jnp.
+        return "jnp"
     impl = cfg.attention_impl
     if impl != "auto":
         return impl
@@ -131,13 +136,18 @@ class SelfAttention(nn.Module):
         q, k, v = self._qkv(x)
         impl = (resolve_attention_impl(cfg, tq)
                 if prefix_length is not None else "jnp")
-        if impl != "jnp" and prefix_length is not None:
+        if cfg.rudalle_relax:
+            ctx = rudalle_relax_attention(q, k, v, mask)
+        elif impl != "jnp" and prefix_length is not None:
             ctx = prefix_causal_attention(q, k, v, prefix_length, impl=impl)
         else:
             ctx = pb_relax_attention(q, k, v, mask,
                                      alpha=cfg.pb_relax_alpha,
                                      pb_relax=cfg.cogview_pb_relax)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tq, cfg.hidden_dim)
+        if cfg.rudalle_relax:
+            # context /= detached max (reference transformer.py:103-105)
+            ctx = (ctx / _detached_max(ctx)).astype(_dt(cfg))
         out = self.out_proj(ctx)
         if return_kv:
             return out, (k, v)
@@ -159,6 +169,8 @@ class SelfAttention(nn.Module):
         cfg = self.cfg
         b = x.shape[0]
         q, k_new, v_new = self._qkv(x)
+        if cfg.rudalle_relax and isinstance(k_cache, QuantCache):
+            raise TypeError("rudalle_relax decode needs a float KV cache")
         if isinstance(k_cache, QuantCache):
             k_cache = update_quant_cache(
                 k_cache, k_new.transpose(0, 1, 3, 2), index)
@@ -179,12 +191,86 @@ class SelfAttention(nn.Module):
         # though it skips the invalid tail (1.8 vs 7.0 img/s end-to-end).
         # 'auto' therefore decodes via jnp; the kernel stays available as
         # an explicit impl for longer-cache regimes / future tuning.
+        if cfg.rudalle_relax:
+            ctx = _rudalle_decode_attention(q, k_cache, v_cache, index)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
+            ctx = (ctx / _detached_max(ctx)).astype(_dt(cfg))
+            return self.out_proj(ctx), (k_cache, v_cache)
         impl = cfg.attention_impl
         if impl not in ("pallas", "pallas_interpret"):
             impl = "jnp"
         ctx = decode_attention(q, k_cache, v_cache, index, impl=impl)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
         return self.out_proj(ctx), (k_cache, v_cache)
+
+
+def _detached_max(t, axis=None, keepdims=False):
+    return jax.lax.stop_gradient(jnp.max(t, axis=axis, keepdims=keepdims))
+
+
+def rudalle_relax_attention(q, k, v, mask):
+    """ruDALL-E relaxed attention (reference transformer.py:48-55,93-97).
+
+    scores = (q/sqrt(d)) @ (k^T/sigma) with sigma = std(k) (unbiased, whole
+    tensor); shift each row by min(row_min + 65504, row_max)/2 (detached,
+    computed BEFORE masking, reference order), divide by sigma again, mask
+    to -65504, softmax; context = probs @ (v / max(v)).  The caller divides
+    the merged context by its detached max (transformer.py:103-105).
+    Returns ctx [B, H, T, hd] in fp32.
+    """
+    head_dim = q.shape[-1]
+    d = jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+    kf = k.astype(jnp.float32)
+    sigma = jnp.std(kf, ddof=1)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) / d,
+                        kf / sigma, preferred_element_type=jnp.float32)
+    smax = _detached_max(scores, axis=-1)
+    smin = jax.lax.stop_gradient(jnp.min(scores, axis=-1)) + 65504.0
+    shift = jnp.minimum(smin, smax)[..., None] / 2.0
+    scores = (scores - shift) / sigma
+    if mask.ndim == 2:
+        mask = mask[None, None]
+    scores = jnp.where(mask, scores, jnp.float32(-65504.0))
+    probs = jax.nn.softmax(scores, axis=-1)
+    vf = v.astype(jnp.float32)
+    v_scale = _detached_max(vf)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, vf / v_scale,
+                      preferred_element_type=jnp.float32)
+
+
+def _rudalle_decode_attention(q, k_cache, v_cache, index):
+    """Single-token rudalle-relaxed attention over a preallocated cache.
+
+    Matches the reference *cached* semantics (transformer.py:82-97): the
+    torch path concatenates only valid positions, so sigma/std, the row
+    min/max shift and the v max are computed over positions <= ``index``
+    — here realized as masked statistics over the padded [B, H, hd, total]
+    cache.  q [B, H, 1, hd]; returns ctx [B, H, 1, hd] fp32.
+    """
+    b, h, hd, total = k_cache.shape
+    head_dim = q.shape[-1]
+    d = jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+    valid = (jnp.arange(total) <= index)                      # [total]
+    kf = k_cache.astype(jnp.float32)
+    n = jnp.asarray(index + 1, jnp.float32) * (b * h * hd)
+    mean = jnp.sum(jnp.where(valid, kf, 0.0)) / n
+    var = jnp.sum(jnp.where(valid, (kf - mean) ** 2, 0.0)) / (n - 1.0)
+    sigma = jnp.sqrt(var)
+    scores = jnp.einsum("bhqd,bhdk->bhqk", q.astype(jnp.float32) / d,
+                        kf / sigma, preferred_element_type=jnp.float32)
+    big = jnp.float32(3.0e38)
+    smax = jax.lax.stop_gradient(
+        jnp.max(jnp.where(valid, scores, -big), axis=-1))
+    smin = jax.lax.stop_gradient(
+        jnp.min(jnp.where(valid, scores, big), axis=-1)) + 65504.0
+    shift = jnp.minimum(smin, smax)[..., None] / 2.0
+    scores = jnp.where(valid, (scores - shift) / sigma,
+                       jnp.float32(-65504.0))
+    probs = jax.nn.softmax(scores, axis=-1)
+    vf = v_cache.astype(jnp.float32)
+    v_scale = jax.lax.stop_gradient(jnp.max(jnp.where(valid, vf, -big)))
+    return jnp.einsum("bhqk,bhdk->bhqd", probs, vf / v_scale,
+                      preferred_element_type=jnp.float32)
 
 
 def pb_relax_attention(q, k, v, mask, alpha: float = 32.0,
@@ -221,8 +307,14 @@ class MLP(nn.Module):
         h = nn.Dense(4 * self.cfg.hidden_dim, kernel_init=_INIT, dtype=dt,
                      name="lin1")(x)
         h = _gelu(h)
-        return nn.Dense(self.cfg.hidden_dim, kernel_init=_INIT, dtype=dt,
-                        name="lin2")(h)
+        lin2 = nn.Dense(self.cfg.hidden_dim, kernel_init=_INIT, dtype=dt,
+                        name="lin2")
+        if self.cfg.rudalle_relax:
+            # detached max-rescaling (reference transformer.py:133-136)
+            scale = _detached_max(h) / 4.0
+            y = lin2(h / scale)
+            return (y / _detached_max(y, axis=-1, keepdims=True)) * scale
+        return lin2(h)
 
 
 class TransformerLayer(nn.Module):
@@ -241,18 +333,26 @@ class TransformerLayer(nn.Module):
         self.attn = SelfAttention(cfg, name="attn")
         self.mlp = MLP(cfg, name="mlp")
 
+    def _prescale(self, t):
+        # CogView LayerNorm-prescale (reference transformer.py:177-178):
+        # divide by the detached per-position max before ln_in, the first
+        # sandwich LN and ln_out (NOT the second sandwich, :205-206)
+        if self.cfg.cogview_layernorm_prescale:
+            return t / _detached_max(t, axis=-1, keepdims=True)
+        return t
+
     def _post_attn(self, x, a):
         if self.cfg.cogview_sandwich_layernorm:
-            a = self.first_ln_sandwich(a)
+            a = self.first_ln_sandwich(self._prescale(a))
         x = x + a
-        m = self.mlp(self.ln_out(x))
+        m = self.mlp(self.ln_out(self._prescale(x)))
         if self.cfg.cogview_sandwich_layernorm:
             m = self.second_ln_sandwich(m)
         return x + m
 
     def __call__(self, x, mask, return_kv: bool = False,
                  prefix_length: Optional[int] = None):
-        h = self.ln_in(x)
+        h = self.ln_in(self._prescale(x))
         if return_kv:
             a, kv = self.attn(h, mask, return_kv=True,
                               prefix_length=prefix_length)
@@ -262,7 +362,7 @@ class TransformerLayer(nn.Module):
 
     def decode(self, x, k_cache, v_cache, index):
         a, (k_cache, v_cache) = self.attn.decode(
-            self.ln_in(x), k_cache, v_cache, index)
+            self.ln_in(self._prescale(x)), k_cache, v_cache, index)
         return self._post_attn(x, a), (k_cache, v_cache)
 
 
@@ -350,11 +450,17 @@ class MakeAScene(nn.Module):
 
     # --- core stacks --------------------------------------------------------
 
+    def _final_ln(self, x):
+        if self.cfg.rudalle_relax:
+            # reference Transformer.forward:267-268 prescales the final LN
+            x = x / _detached_max(x, axis=-1, keepdims=True)
+        return self.final_ln(x)
+
     def backbone(self, x, mask, prefix_length: Optional[int] = None):
         for layer in self.layers:
             # positional args so nn.remat's static_argnums line up
             x = layer(x, mask, False, prefix_length)
-        return self.final_ln(x)
+        return self._final_ln(x)
 
     def to_logits(self, x):
         return self.logits_dense(self.logits_ln(x)).astype(jnp.float32)
@@ -368,10 +474,10 @@ class MakeAScene(nn.Module):
         t = emb.shape[1]
         if resolve_attention_impl(cfg, t) == "jnp":
             pos = jnp.arange(t)
-            mask = prefix_causal_mask(pos, pos, cfg.prefix_length)
+            mask = prefix_causal_mask(pos, pos, cfg.effective_prefix)
         else:
             mask = None     # fused kernel derives the mask from indices
-        h = self.backbone(emb, mask, prefix_length=cfg.prefix_length)
+        h = self.backbone(emb, mask, prefix_length=cfg.effective_prefix)
         logits = self.to_logits(h)
         # predictions for image positions: shift by one (transformer.py:378)
         return logits[:, -cfg.image_length - 1:-1, :]
@@ -394,16 +500,20 @@ class MakeAScene(nn.Module):
         """
         cfg = self.cfg
         emb = self.embed_prefix(text_tokens, seg_tokens)
+        eff = cfg.effective_prefix
         if resolve_attention_impl(cfg, cfg.prefix_length) == "jnp":
-            mask = jnp.ones((cfg.prefix_length, cfg.prefix_length), bool)
+            pos = jnp.arange(cfg.prefix_length)
+            # bidirectional default: all-visible; reference-faithful mode:
+            # causal over the prefix too (the tril multiply reaches it)
+            mask = prefix_causal_mask(pos, pos, eff)
         else:
-            mask = None   # all positions < prefix_length: fully visible
+            mask = None   # fused kernel derives the mask from indices
         caches = []
         x = emb
         for layer in self.layers:
-            x, kv = layer(x, mask, True, cfg.prefix_length)
+            x, kv = layer(x, mask, True, eff)
             caches.append(kv)
-        h = self.final_ln(x[:, -1:, :])
+        h = self._final_ln(x[:, -1:, :])
         logits = self.to_logits(h)[:, 0]
         return logits, tuple(caches)
 
@@ -424,6 +534,6 @@ class MakeAScene(nn.Module):
         for layer, (k, v) in zip(self.layers, caches):
             x, kv = layer.decode(x, k, v, index)
             new_caches.append(kv)
-        h = self.final_ln(x)
+        h = self._final_ln(x)
         logits = self.to_logits(h)[:, 0]
         return logits, tuple(new_caches)

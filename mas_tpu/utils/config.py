@@ -208,6 +208,25 @@ class TransformerConfig(_Base):
     cogview_pb_relax: bool = True
     cogview_sandwich_layernorm: bool = True
     pb_relax_alpha: float = 32.0
+    # The paper's mask is bidirectional over the text+seg prefix, and the
+    # reference BUILDS that mask (transformer.py:366-369) — but then
+    # multiplies it by the per-layer tril buffer (transformer.py:262-263),
+    # which cancels the prefix block: the reference effectively runs pure
+    # causal attention.  True (default) = paper intent; False = faithful to
+    # the reference's effective behavior (needed for bit-parity against
+    # reference-trained checkpoints).
+    prefix_bidirectional: bool = True
+    # ruDALL-E numerical-relaxation variant (reference transformer.py:48-55,
+    # 93-106,133-136): sigma-normalized scores with a min/max midpoint shift,
+    # 65504 mask value, detached max-rescaling of v/context/MLP activations.
+    # Checkpoint-compat surface — forces the jnp attention path (the shift/
+    # sigma division changes the softmax distribution, so the flash kernel
+    # does not apply) and is incompatible with the int8 KV cache.
+    rudalle_relax: bool = False
+    # CogView LayerNorm-prescale (reference transformer.py:177-178,184-185,
+    # 192-193): divide LN inputs by their detached per-position max (ln_in,
+    # first sandwich, ln_out — not the second sandwich).
+    cogview_layernorm_prescale: bool = False
     compute_dtype: str = "float32"
     # 'auto' picks pallas flash attention on TPU, jnp elsewhere
     attention_impl: str = "auto"
@@ -230,6 +249,15 @@ class TransformerConfig(_Base):
         if self.text_vocab_size < self.text_length:
             raise ConfigError("text_vocab_size must be >= text_length "
                               "(pad-remap needs text_length trailing slots)")
+        if self.rudalle_relax and not self.cogview_pb_relax:
+            raise ConfigError(
+                "rudalle_relax is a refinement of the PB-relax branch "
+                "(reference transformer.py:47-55); enable cogview_pb_relax")
+        if self.rudalle_relax and self.kv_cache_dtype == "int8":
+            raise ConfigError(
+                "rudalle_relax requires a floating-point KV cache (its "
+                "masked sigma/max statistics are not defined over the "
+                "int8-quantized cache)")
 
     @property
     def head_dim(self) -> int:
@@ -250,6 +278,13 @@ class TransformerConfig(_Base):
     @property
     def prefix_length(self) -> int:
         return self.text_length + self.seg_length
+
+    @property
+    def effective_prefix(self) -> int:
+        """Bidirectional-prefix extent actually applied to masks: 0 when
+        mirroring the reference's tril-cancelled mask (see
+        ``prefix_bidirectional``)."""
+        return self.prefix_length if self.prefix_bidirectional else 0
 
 
 @dataclass(frozen=True)

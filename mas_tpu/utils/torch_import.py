@@ -168,11 +168,14 @@ def convert_transformer_state(state: Dict[str, Any],
                               cfg: TransformerConfig) -> Dict[str, Any]:
     """Reference MakeAScene state_dict -> flax params.
 
-    Reference names (``transformer.py:275-318``): ``*_token_embedding``,
-    ``text_pos_embeddings``, ``{seg,image}_{row,col}_embeddings``,
-    ``transformer.layers.{i}.{first_layernorm, attention.qkv/out_proj,
-    second_layernorm, mlp.lin1/lin2, third_layernorm, fourth_layernorm}``,
-    ``transformer.final_layernorm``, ``to_logits.{0,1}`` (LN + Linear).
+    Reference names (actual module attributes, ``transformer.py:159-174,
+    233-247,296-318``): ``*_token_embedding``, ``text_pos_embeddings``,
+    ``{seg,image}_{row,col}_embeddings``,
+    ``transformer.layers.{i}.{ln_in, ln_out, first_ln_sandwich,
+    second_ln_sandwich, attn.qkv/out_proj, mlp.lin1/lin2}``,
+    ``transformer.final_ln``, ``to_logits.{0,1}`` (LN + Linear).
+    (``transformer.mask`` is a registered buffer — ignored; this build
+    derives the mask in closed form.)
     """
     flat = {k: v for k, v in state.items()}
     p: Dict[str, Any] = {}
@@ -189,18 +192,19 @@ def convert_transformer_state(state: Dict[str, Any],
     for i in range(cfg.num_layers):
         t = f"transformer.layers.{i}"
         layer = {
-            "ln_in": _ln(flat, f"{t}.first_layernorm"),
-            "ln_out": _ln(flat, f"{t}.second_layernorm"),
-            "attn": {"qkv": _linear(flat, f"{t}.attention.qkv"),
-                     "out_proj": _linear(flat, f"{t}.attention.out_proj")},
+            "ln_in": _ln(flat, f"{t}.ln_in"),
+            "ln_out": _ln(flat, f"{t}.ln_out"),
+            "attn": {"qkv": _linear(flat, f"{t}.attn.qkv"),
+                     "out_proj": _linear(flat, f"{t}.attn.out_proj")},
             "mlp": {"lin1": _linear(flat, f"{t}.mlp.lin1"),
                     "lin2": _linear(flat, f"{t}.mlp.lin2")},
         }
-        if f"{t}.third_layernorm.weight" in flat:
-            layer["first_ln_sandwich"] = _ln(flat, f"{t}.third_layernorm")
-            layer["second_ln_sandwich"] = _ln(flat, f"{t}.fourth_layernorm")
+        if f"{t}.first_ln_sandwich.weight" in flat:
+            layer["first_ln_sandwich"] = _ln(flat, f"{t}.first_ln_sandwich")
+            layer["second_ln_sandwich"] = _ln(flat,
+                                              f"{t}.second_ln_sandwich")
         p[f"layer_{i}"] = layer
-    p["final_ln"] = _ln(flat, "transformer.final_layernorm")
+    p["final_ln"] = _ln(flat, "transformer.final_ln")
     p["logits_ln"] = _ln(flat, "to_logits.0")
     p["logits_dense"] = _linear(flat, "to_logits.1")
     return {"params": p}

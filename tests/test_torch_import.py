@@ -233,6 +233,33 @@ def test_latent_and_token_parity(models):
                                rtol=1e-3)
 
 
+def test_vqbase_real_pt_roundtrip(models, tmp_path):
+    """torch.save -> load_torch_checkpoint -> convert -> bitwise tokens
+    (VERDICT r1 #7: exercise the importer against a saved .pt artifact)."""
+    from mas_tpu.utils.torch_import import load_torch_checkpoint
+
+    cfg, tmodel, jmodel, _ = models
+    path = tmp_path / "vqbase.pt"
+    # reference VQ-IMG checkpoint layout (train.py:108-116): nested dict
+    torch.save({"model": tmodel.state_dict(), "step": 123}, path)
+    variables = convert_vqbase_state(load_torch_checkpoint(str(path)), cfg)
+
+    x = np.random.default_rng(7).random((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        tz = tmodel.quant_conv(tmodel.encoder(tx))
+        emb = tmodel.quantize.embedding.weight
+        flat = tz.permute(0, 2, 3, 1).reshape(-1, emb.shape[1])
+        d = (flat.pow(2).sum(1, keepdim=True)
+             + emb.pow(2).sum(1) - 2 * flat @ emb.t())
+        t_idx = d.argmin(1).numpy()
+    _, j_idx = jmodel.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), method=VQModel.encode)
+    np.testing.assert_array_equal(np.asarray(j_idx).reshape(-1), t_idx)
+
+
 def test_transformer_converter_shapes():
     """Synthetic reference-layout transformer state_dict converts into the
     flax tree (shape + structure check)."""
@@ -255,20 +282,20 @@ def test_transformer_converter_shapes():
         state[f"{name}.weight"] = np.zeros((rows, d), np.float32)
     for i in range(cfg.num_layers):
         t = f"transformer.layers.{i}"
-        for ln in ("first_layernorm", "second_layernorm",
-                   "third_layernorm", "fourth_layernorm"):
+        for ln in ("ln_in", "ln_out",
+                   "first_ln_sandwich", "second_ln_sandwich"):
             state[f"{t}.{ln}.weight"] = np.ones((d,), np.float32)
             state[f"{t}.{ln}.bias"] = np.zeros((d,), np.float32)
-        state[f"{t}.attention.qkv.weight"] = np.zeros((3 * d, d), np.float32)
-        state[f"{t}.attention.qkv.bias"] = np.zeros((3 * d,), np.float32)
-        state[f"{t}.attention.out_proj.weight"] = np.zeros((d, d), np.float32)
-        state[f"{t}.attention.out_proj.bias"] = np.zeros((d,), np.float32)
+        state[f"{t}.attn.qkv.weight"] = np.zeros((3 * d, d), np.float32)
+        state[f"{t}.attn.qkv.bias"] = np.zeros((3 * d,), np.float32)
+        state[f"{t}.attn.out_proj.weight"] = np.zeros((d, d), np.float32)
+        state[f"{t}.attn.out_proj.bias"] = np.zeros((d,), np.float32)
         state[f"{t}.mlp.lin1.weight"] = np.zeros((4 * d, d), np.float32)
         state[f"{t}.mlp.lin1.bias"] = np.zeros((4 * d,), np.float32)
         state[f"{t}.mlp.lin2.weight"] = np.zeros((d, 4 * d), np.float32)
         state[f"{t}.mlp.lin2.bias"] = np.zeros((d,), np.float32)
-    state["transformer.final_layernorm.weight"] = np.ones((d,), np.float32)
-    state["transformer.final_layernorm.bias"] = np.zeros((d,), np.float32)
+    state["transformer.final_ln.weight"] = np.ones((d,), np.float32)
+    state["transformer.final_ln.bias"] = np.zeros((d,), np.float32)
     state["to_logits.0.weight"] = np.ones((d,), np.float32)
     state["to_logits.0.bias"] = np.zeros((d,), np.float32)
     state["to_logits.1.weight"] = np.zeros((32, d), np.float32)

@@ -1,0 +1,367 @@
+"""Transformer parity vs an in-test PyTorch replica of the reference.
+
+The replica reproduces ``/root/reference/models/transformer.py`` semantics
+(PB-relax, sandwich LN, the optional ``rudalle_relax`` + LayerNorm-prescale
+variants, the cached-inference path) with the reference's module attribute
+names, so its ``state_dict`` is exactly what a real reference checkpoint
+looks like.  Tests cover:
+
+  * full-forward logits parity for all flag combinations,
+  * cached decode (prefill + step) parity vs the torch ``use_cache`` path,
+  * a REAL ``.pt`` round-trip: ``torch.save`` -> ``load_torch_checkpoint``
+    -> ``convert_transformer_state`` -> argmax-token parity (VERDICT r1 #7).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from mas_tpu.models.transformer import MakeAScene  # noqa: E402
+from mas_tpu.utils.config import ConfigError, TransformerConfig  # noqa: E402
+from mas_tpu.utils.torch_import import (convert_transformer_state,  # noqa: E402
+                                        load_torch_checkpoint)
+
+
+# --- replica (reference transformer.py semantics, same attribute names) ----
+
+class TSelfAttention(nn.Module):
+    def __init__(self, hidden_dim, heads, pb_relax=True, rudalle=False):
+        super().__init__()
+        self.h = heads
+        self.d = math.sqrt(hidden_dim // heads)
+        self.qkv = nn.Linear(hidden_dim, 3 * hidden_dim)
+        self.out_proj = nn.Linear(hidden_dim, hidden_dim)
+        self.pb_relax, self.rudalle = pb_relax, rudalle
+
+    def _split(self, x):
+        b, t, d = x.shape
+        return x.view(b, t, self.h, d // self.h).permute(0, 2, 1, 3)
+
+    def _scores(self, q, k, mask):
+        k_t = k.transpose(-1, -2)
+        mask_value = 10000.0
+        if self.pb_relax and self.rudalle:
+            sigma = k_t.std()
+            s = torch.matmul(q / self.d, k_t / sigma)
+            s_max = s.detach().max(dim=-1)[0]
+            s_min = (s.detach() + 65504).min(dim=-1)[0]
+            shift = torch.min(s_min, s_max).unsqueeze(-1).expand_as(s) / 2
+            s = (s - shift) / sigma
+            mask_value = 65504
+        elif self.pb_relax:
+            s = torch.matmul(q / self.d, k_t)
+        else:
+            s = torch.matmul(q, k_t) / self.d
+        mask = mask[:, :, -s.shape[-2]:]
+        s = mask * s - (1.0 - mask) * mask_value
+        if self.pb_relax and not self.rudalle:
+            alpha = 32
+            ss = s / alpha
+            m = ss.detach().view(s.shape[0], s.shape[1], -1).max(dim=-1)[0]
+            s = (ss - m[..., None, None]) * alpha
+        return s
+
+    def forward(self, x, mask, cache=None, use_cache=False):
+        if use_cache and cache is not None:
+            qkv = self.qkv(x[:, cache[0].shape[-2]:, :])
+        else:
+            qkv = self.qkv(x)
+        q, k, v = torch.split(qkv, qkv.shape[-1] // 3, dim=-1)
+        q, k, v = self._split(q), self._split(k), self._split(v)
+        if use_cache and cache is not None:
+            past_k, past_v, past_out = cache
+            k = torch.cat([past_k, k], dim=-2)
+            v = torch.cat([past_v, v], dim=-2)
+        probs = torch.softmax(self._scores(q, k, mask), dim=-1)
+        if self.rudalle:
+            ctx = torch.matmul(probs, v / v.detach().max().item())
+        else:
+            ctx = torch.matmul(probs, v)
+        b, h, t, hd = ctx.shape
+        ctx = ctx.permute(0, 2, 1, 3).reshape(b, t, h * hd)
+        if self.rudalle:
+            ctx = ctx / ctx.detach().max().item()
+        out = self.out_proj(ctx)
+        if use_cache and cache is not None:
+            out = torch.cat([cache[2], out], dim=-2)
+        new_cache = (k, v, out) if use_cache else None
+        return out, new_cache
+
+
+class TMLP(nn.Module):
+    def __init__(self, hidden_dim, rudalle=False):
+        super().__init__()
+        self.lin1 = nn.Linear(hidden_dim, 4 * hidden_dim)
+        self.lin2 = nn.Linear(4 * hidden_dim, hidden_dim)
+        self.rudalle = rudalle
+
+    def forward(self, x):
+        x = self.lin1(x)
+        x = 0.5 * x * (1.0 + torch.tanh(
+            0.7978845608028654 * x * (1.0 + 0.044715 * x * x)))
+        if self.rudalle:
+            scale = x.detach().max().item() / 4
+            x = self.lin2(x / scale)
+            return (x / x.detach().max(dim=-1)[0].unsqueeze(-1)) * scale
+        return self.lin2(x)
+
+
+class TLayer(nn.Module):
+    def __init__(self, hidden_dim, heads, pb_relax=True, sandwich=True,
+                 prescale=False, rudalle=False):
+        super().__init__()
+        self.sandwich, self.prescale = sandwich, prescale
+        self.ln_in = nn.LayerNorm(hidden_dim, eps=1e-5)
+        self.ln_out = nn.LayerNorm(hidden_dim, eps=1e-5)
+        if sandwich:
+            self.first_ln_sandwich = nn.LayerNorm(hidden_dim, eps=1e-5)
+            self.second_ln_sandwich = nn.LayerNorm(hidden_dim, eps=1e-5)
+        self.attn = TSelfAttention(hidden_dim, heads, pb_relax, rudalle)
+        self.mlp = TMLP(hidden_dim, rudalle)
+
+    def _pre(self, t):
+        if self.prescale:
+            return t / t.detach().max(dim=-1)[0].unsqueeze(-1)
+        return t
+
+    def forward(self, x, mask, cache=None, use_cache=False):
+        a, new_cache = self.attn(self.ln_in(self._pre(x)), mask,
+                                 cache, use_cache)
+        if self.sandwich:
+            a = self.first_ln_sandwich(self._pre(a))
+        x = x + a
+        cached = 0 if cache is None else cache[0].shape[2]
+        ln_out = self.ln_out(self._pre(x))
+        if use_cache and cached:
+            m = torch.cat((ln_out[..., :cached, :],
+                           self.mlp(ln_out[..., cached:, :])), dim=-2)
+        else:
+            m = self.mlp(ln_out)
+        if self.sandwich:
+            m = self.second_ln_sandwich(m)
+        return x + m, new_cache
+
+
+class TTransformer(nn.Module):
+    def __init__(self, layers, hidden_dim, heads, total, pb_relax=True,
+                 sandwich=True, prescale=False, rudalle=False):
+        super().__init__()
+        self.rudalle = rudalle
+        self.layers = nn.ModuleList(
+            [TLayer(hidden_dim, heads, pb_relax, sandwich, prescale,
+                    rudalle) for _ in range(layers)])
+        self.register_buffer(
+            "mask", torch.tril(torch.ones(total, total)))
+        self.final_ln = nn.LayerNorm(hidden_dim, eps=1e-5)
+
+    def forward(self, x, attn_mask, cache=None, use_cache=False):
+        if cache is None:
+            cache = {}
+        for i, layer in enumerate(self.layers):
+            m = attn_mask * self.mask[:attn_mask.size(2), :attn_mask.size(3)]
+            x, layer_cache = layer(x, m, cache.get(i), use_cache)
+            cache[i] = layer_cache
+        if self.rudalle:
+            x = x / x.detach().max(dim=-1)[0].unsqueeze(-1)
+        return self.final_ln(x), cache
+
+
+class TMakeAScene(nn.Module):
+    def __init__(self, cfg: TransformerConfig):
+        super().__init__()
+        self.cfg = cfg
+        d = cfg.hidden_dim
+        self.transformer = TTransformer(
+            cfg.num_layers, d, cfg.num_attn_heads, cfg.total_length,
+            cfg.cogview_pb_relax, cfg.cogview_sandwich_layernorm,
+            cfg.cogview_layernorm_prescale, cfg.rudalle_relax)
+        self.image_token_embedding = nn.Embedding(cfg.image_vocab_size, d)
+        self.seg_token_embedding = nn.Embedding(cfg.seg_vocab_size, d)
+        self.text_token_embedding = nn.Embedding(cfg.text_vocab_size, d)
+        self.text_pos_embeddings = nn.Embedding(cfg.text_length, d)
+        self.seg_row_embeddings = nn.Embedding(cfg.seg_tokens_per_dim, d)
+        self.seg_col_embeddings = nn.Embedding(cfg.seg_tokens_per_dim, d)
+        self.image_row_embeddings = nn.Embedding(cfg.image_tokens_per_dim, d)
+        self.image_col_embeddings = nn.Embedding(cfg.image_tokens_per_dim, d)
+        self.to_logits = nn.Sequential(
+            nn.LayerNorm(d), nn.Linear(d, cfg.image_vocab_size))
+
+    def _embed(self, text, seg, img, img_past=0):
+        cfg = self.cfg
+        parts = []
+        if text is not None:
+            rng = torch.arange(cfg.text_length) + (
+                cfg.text_vocab_size - cfg.text_length)
+            text = torch.where(text == 0, rng, text)
+            pos = self.text_pos_embeddings(torch.arange(text.shape[1]))
+            parts.append(self.text_token_embedding(text) + pos)
+        if seg is not None:
+            p = torch.arange(seg.shape[1])
+            parts.append(self.seg_token_embedding(seg)
+                         + self.seg_row_embeddings(p // cfg.seg_tokens_per_dim)
+                         + self.seg_col_embeddings(p % cfg.seg_tokens_per_dim))
+        if img is not None:
+            p = torch.arange(img_past, img_past + img.shape[1])
+            parts.append(
+                self.image_token_embedding(img)
+                + self.image_row_embeddings(p // cfg.image_tokens_per_dim)
+                + self.image_col_embeddings(p % cfg.image_tokens_per_dim))
+        return torch.cat(parts, dim=1)
+
+    def _mask(self, b, upto):
+        cfg = self.cfg
+        m = torch.tril(torch.ones(b, 1, cfg.total_length, cfg.total_length))
+        m[:, :, :-cfg.image_length, :-cfg.image_length] = 1
+        return m[:, :, :upto, :upto]
+
+    def forward(self, text, seg, img):
+        emb = self._embed(text, seg, img)
+        out, _ = self.transformer(emb, self._mask(emb.shape[0], emb.shape[1]))
+        logits = self.to_logits(out)
+        return logits[:, -self.cfg.image_length - 1:-1, :]
+
+    def forward_cached(self, text, seg, img_tokens):
+        """Reference cached-inference semantics (transformer.py:73-115):
+        prefix pass, then one token at a time (the layers slice off the
+        cached positions themselves); returns per-step logits for the NEXT
+        position, [B, image_length, vocab]."""
+        cfg = self.cfg
+        emb = self._embed(text, seg, None)
+        emb_all = self._embed(text, seg, img_tokens)
+        b = emb.shape[0]
+        out, cache = self.transformer(
+            emb, self._mask(b, emb.shape[1]), cache=None, use_cache=True)
+        logits = [self.to_logits(out[:, -1:, :])]
+        for step in range(img_tokens.shape[1] - 1):
+            upto = cfg.prefix_length + step + 1
+            out, cache = self.transformer(
+                emb_all[:, :upto], self._mask(b, upto),
+                cache=cache, use_cache=True)
+            logits.append(self.to_logits(out[:, -1:, :]))
+        return torch.cat(logits, dim=1)
+
+
+# --- fixtures ---------------------------------------------------------------
+
+def _cfg(**kw):
+    # prefix_bidirectional=False: the reference's per-layer tril multiply
+    # (transformer.py:262-263) cancels its own prefix-bidirectional block
+    # (:366-369), so reference-faithful parity runs pure causal.
+    base = dict(num_layers=2, hidden_dim=64, num_attn_heads=4,
+                image_vocab_size=96, seg_vocab_size=32, text_vocab_size=48,
+                image_tokens_per_dim=3, seg_tokens_per_dim=2, text_length=6,
+                attention_impl="jnp", prefix_bidirectional=False)
+    base.update(kw)
+    return TransformerConfig(**base)
+
+
+def _pair(cfg, seed=0):
+    torch.manual_seed(seed)
+    tmodel = TMakeAScene(cfg).eval()
+    variables = convert_transformer_state(tmodel.state_dict(), cfg)
+    return tmodel, MakeAScene(cfg), variables
+
+
+def _tokens(cfg, b=2, seed=1):
+    r = np.random.default_rng(seed)
+    text = r.integers(0, cfg.text_vocab_size - cfg.text_length,
+                      (b, cfg.text_length))
+    text[:, -2:] = 0          # exercise the pad remap
+    seg = r.integers(0, cfg.seg_vocab_size, (b, cfg.seg_length))
+    img = r.integers(0, cfg.image_vocab_size, (b, cfg.image_length))
+    return (text.astype(np.int32), seg.astype(np.int32),
+            img.astype(np.int32))
+
+
+FLAG_SETS = [
+    dict(),                                        # pb-relax + sandwich
+    dict(rudalle_relax=True),                      # ruDALL-E relaxation
+    dict(cogview_layernorm_prescale=True),         # LN prescale
+    dict(rudalle_relax=True, cogview_layernorm_prescale=True),
+    dict(cogview_sandwich_layernorm=False),
+]
+
+
+@pytest.mark.parametrize("flags", FLAG_SETS)
+def test_forward_parity(flags):
+    cfg = _cfg(**flags)
+    tmodel, jmodel, variables = _pair(cfg)
+    text, seg, img = _tokens(cfg)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(text).long(),
+                          torch.from_numpy(seg).long(),
+                          torch.from_numpy(img).long()).numpy()
+    j_logits = np.asarray(jmodel.apply(variables, jnp.asarray(text),
+                                       jnp.asarray(seg), jnp.asarray(img)))
+    np.testing.assert_allclose(j_logits, t_logits, atol=2e-4, rtol=2e-4)
+    np.testing.assert_array_equal(j_logits.argmax(-1), t_logits.argmax(-1))
+
+
+@pytest.mark.parametrize("flags", [dict(), dict(rudalle_relax=True)])
+def test_cached_decode_parity(flags):
+    """Our prefill + decode_step == the reference's use_cache path.
+
+    For rudalle this is the only valid oracle: its sigma/max statistics are
+    computed over valid cache positions only, so cached decode differs from
+    the full forward BY DESIGN (reference transformer.py:49,94)."""
+    cfg = _cfg(**flags)
+    tmodel, jmodel, variables = _pair(cfg)
+    text, seg, img = _tokens(cfg, b=1)
+    with torch.no_grad():
+        t_logits = tmodel.forward_cached(
+            torch.from_numpy(text).long(), torch.from_numpy(seg).long(),
+            torch.from_numpy(img).long()).numpy()
+
+    logits0, caches = jmodel.apply(variables, jnp.asarray(text),
+                                   jnp.asarray(seg),
+                                   method=MakeAScene.prefill)
+    from mas_tpu.ops.decode_attention import transpose_cache
+    total = cfg.total_length
+    full = jnp.zeros((1, cfg.num_attn_heads, cfg.head_dim, total),
+                     jnp.float32)
+    caches = tuple(
+        (jax.lax.dynamic_update_slice(full, transpose_cache(k), (0, 0, 0, 0)),
+         jax.lax.dynamic_update_slice(full, transpose_cache(v), (0, 0, 0, 0)))
+        for k, v in caches)
+    j_logits = [np.asarray(logits0)]
+    for step in range(cfg.image_length - 1):
+        tok = jnp.asarray(img[:, step:step + 1])
+        logits, caches = jmodel.apply(variables, tok, step, caches,
+                                      method=MakeAScene.decode_step)
+        j_logits.append(np.asarray(logits))
+    j_logits = np.stack(j_logits, axis=1)
+    np.testing.assert_allclose(j_logits, t_logits, atol=3e-4, rtol=3e-4)
+    np.testing.assert_array_equal(j_logits.argmax(-1), t_logits.argmax(-1))
+
+
+def test_real_pt_roundtrip(tmp_path):
+    """torch.save -> load_torch_checkpoint -> convert -> token parity."""
+    cfg = _cfg(rudalle_relax=True)
+    torch.manual_seed(3)
+    tmodel = TMakeAScene(cfg).eval()
+    path = tmp_path / "transformer.pt"
+    torch.save({"model": tmodel.state_dict()}, path)
+
+    state = load_torch_checkpoint(str(path))
+    variables = convert_transformer_state(state, cfg)
+    jmodel = MakeAScene(cfg)
+    text, seg, img = _tokens(cfg)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(text).long(),
+                          torch.from_numpy(seg).long(),
+                          torch.from_numpy(img).long()).numpy()
+    j_logits = np.asarray(jmodel.apply(variables, jnp.asarray(text),
+                                       jnp.asarray(seg), jnp.asarray(img)))
+    np.testing.assert_array_equal(j_logits.argmax(-1), t_logits.argmax(-1))
+
+
+def test_rudalle_rejects_int8_cache():
+    with pytest.raises(ConfigError):
+        _cfg(rudalle_relax=True, kv_cache_dtype="int8")
