@@ -46,9 +46,13 @@ ANNOTATOR_KINDS = ("panoptic", "human", "face")
 
 
 class SyntheticAnnotator:
-    """Deterministic stand-in emitting the reference npz schema per kind
-    (``detectron2_preprocessor.py:84-103``, ``human_parts_preprocessor.py:
-    78-101``, ``face_alignment_preprocessor.py:103-133``)."""
+    """Deterministic stand-in: fake NETWORK outputs, REAL schema-shaping
+    geometry.  Only the pretrained net is substituted with random instance
+    rectangles / landmarks; everything downstream (``panoptic_thing_boxes``,
+    ``edges_from_instances``, ``faces_to_mask``) is the ported reference
+    logic (``detectron2_preprocessor.py:84-103``,
+    ``human_parts_preprocessor.py:78-101``,
+    ``face_alignment_preprocessor.py:103-133``)."""
 
     def __init__(self, kind: str, seed: int = 0):
         assert kind in ANNOTATOR_KINDS
@@ -56,24 +60,51 @@ class SyntheticAnnotator:
         self.seed = seed
 
     def __call__(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        from .annotate import faces_to_mask, masks_to_boxes, \
+            panoptic_thing_boxes
+        from .segmap import edges_from_instances
+
         h, w = image.shape[:2]
         rng = np.random.default_rng(
             self.seed + int(image[:8, :8].sum() * 255) % 100003)
         if self.kind == "panoptic":
+            # fake predictor output: 1000*class + instance rectangles
+            # (stand-in for detectron2's panoptic map, :93-99)
+            pan = np.full((h, w), 100 * 1000, np.int64)   # stuff background
+            for inst in range(1, int(rng.integers(2, 5))):
+                cls = int(rng.integers(0, 133))
+                y, x = rng.integers(0, max(h - 8, 1)), rng.integers(
+                    0, max(w - 8, 1))
+                bh, bw = rng.integers(6, h // 2 + 7), rng.integers(
+                    6, w // 2 + 7)
+                pan[y:y + bh, x:x + bw] = cls * 1000 + inst
             return {
-                "seg_panoptic": rng.integers(-1, 133, (h, w)).astype(np.int16),
-                "edges": rng.integers(0, 2, (h, w)).astype(np.uint8),
-                "box_things": np.array([[4, 4, w // 2, h // 2]], np.float32),
+                "seg_panoptic": (pan // 1000).astype(np.int16),
+                "edges": edges_from_instances(pan).astype(np.uint8),
+                "box_things": panoptic_thing_boxes(pan),
             }
         if self.kind == "human":
+            parts = np.full((h, w), -1, np.int16)
+            for part in range(int(rng.integers(1, 4))):
+                y, x = rng.integers(0, max(h - 4, 1)), rng.integers(
+                    0, max(w - 4, 1))
+                parts[y:y + int(rng.integers(4, h // 2 + 5)),
+                      x:x + int(rng.integers(4, w // 2 + 5))] = int(
+                          rng.integers(0, 20))
             return {
-                "seg_human": rng.integers(-1, 20, (h, w)).astype(np.int16),
-                "edges": rng.integers(0, 2, (h, w)).astype(np.uint8),
+                "seg_human": parts,
+                "edges": edges_from_instances(parts).astype(np.uint8),
             }
-        return {
-            "seg_face": rng.integers(0, 6, (h, w)).astype(np.uint8),
-            "box_face": np.zeros((0, 4), np.float32),
-        }
+        # face: fake landmark sets -> real contour rasterization
+        n_faces = int(rng.integers(0, 3))
+        landmarks = (rng.random((n_faces, 68, 2))
+                     * np.array([w - 2, h - 2]) + 1)
+        seg_face = faces_to_mask((h, w), landmarks) if n_faces else np.zeros(
+            (h, w), np.uint8)
+        boxes = (masks_to_boxes(
+            np.stack([faces_to_mask((h, w), lm[None]) for lm in landmarks]))
+            if n_faces else np.zeros((0, 4), np.float32))
+        return {"seg_face": seg_face, "box_face": boxes}
 
 
 class TorchScriptAnnotator:
