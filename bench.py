@@ -31,7 +31,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_pipeline(resolution: int = 256):
+def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
+                   kv_cache_dtype: str = "int8", cache_segment: int = 0,
+                   ring: bool = False):
     from mas_tpu.models.sampler import sample_tokens
     from mas_tpu.models.transformer import MakeAScene
     from mas_tpu.models.vqvae import VQModel
@@ -47,7 +49,8 @@ def build_pipeline(resolution: int = 256):
         text_vocab_size=16384 + 128,
         image_tokens_per_dim=tokens_per_dim, seg_tokens_per_dim=16,
         text_length=128, compute_dtype="bfloat16",
-        kv_cache_dtype="int8")   # serving config: +45% (see BASELINE.md)
+        kv_cache_dtype=kv_cache_dtype,   # int8: +45% (see BASELINE.md)
+        decode_attention_impl=decode_impl, decode_ring_tail=ring)
     vcfg = VQModelConfig(
         in_channels=3, out_channels=3, resolution=resolution,
         attn_resolutions=(resolution // 16,), compute_dtype="bfloat16",
@@ -95,7 +98,8 @@ def build_pipeline(resolution: int = 256):
 
     def pipeline(text, seg, key):
         toks = sample_tokens(transformer, tvars, text, seg, key,
-                             guidance_scale=3.0, temperature=1.0, top_k=64)
+                             guidance_scale=3.0, temperature=1.0, top_k=64,
+                             cache_segment=cache_segment)
         grid = toks.reshape(-1, tcfg.image_tokens_per_dim,
                             tcfg.image_tokens_per_dim)
         return decode_code(vvars, grid)
@@ -103,8 +107,10 @@ def build_pipeline(resolution: int = 256):
     return pipeline, tcfg
 
 
-def run(batches, iters, resolution=256):
-    pipeline, tcfg = build_pipeline(resolution)
+def run(batches, iters, resolution=256, decode_impl="auto",
+        kv_cache_dtype="int8", cache_segment=0, ring=False):
+    pipeline, tcfg = build_pipeline(resolution, decode_impl, kv_cache_dtype,
+                                    cache_segment, ring)
     best = 0.0
     best_batch = 0
     for b in batches:
@@ -138,6 +144,16 @@ def main():
     ap.add_argument("--resolution", type=int, default=256,
                     choices=(256, 512),
                     help="pipeline geometry (512 = the 1408-token paper config)")
+    ap.add_argument("--decode-impl", default="auto",
+                    choices=("auto", "jnp", "pallas"),
+                    help="decode-attention implementation A/B")
+    ap.add_argument("--kv-cache", default="int8",
+                    choices=("int8", "int4", "compute"),
+                    help="KV cache storage dtype")
+    ap.add_argument("--cache-segment", type=int, default=0,
+                    help="segmented cache growth (0 = single full cache)")
+    ap.add_argument("--ring", action="store_true",
+                    help="ring-tail decode (frozen int8 + compute tail)")
     args = ap.parse_args()
 
     # measured scaling on v5e (bf16): 8->7.1, 16->7.9, 32->9.3, 64->16.8
@@ -150,8 +166,11 @@ def main():
     iters = 2 if args.quick else 3
 
     if args.resolution == 512 and not args.batch:
-        batches = [8]          # 1408-token caches are 5.5x larger
-    best, best_batch = run(batches, iters, args.resolution)
+        batches = [32]         # 1408-token caches are 5.5x larger; int8
+                               # fits 32 (fp16@8 was round 1's 0.94 img/s)
+    best, best_batch = run(batches, iters, args.resolution,
+                           args.decode_impl, args.kv_cache,
+                           args.cache_segment, args.ring)
 
     from benchmarks.torch_baseline import get_baseline
     base = get_baseline()

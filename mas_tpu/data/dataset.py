@@ -91,13 +91,17 @@ class PreprocessedWebDataset:
 
     def __init__(self, shards, resolution: int = 512,
                  process_index: int = 0, process_count: int = 1,
-                 need_seg: bool = True, handler=warn_and_continue):
+                 need_seg: bool = True, handler=warn_and_continue,
+                 workers: int = 4):
         self.shards = expand_shards(shards)
         self.resolution = resolution
         self.process_index = process_index
         self.process_count = process_count
         self.need_seg = need_seg
         self.handler = handler
+        # decode parallelism (reference: 8 DataLoader workers/rank,
+        # conf/img_config.yaml); 0 = inline single-threaded
+        self.workers = workers
 
     def _process(self, raw: Dict[str, bytes]) -> Dict[str, object]:
         res = self.resolution
@@ -129,19 +133,33 @@ class PreprocessedWebDataset:
         sample["box_face"] = sanitize_bboxes(box_face, frame=res)
         return sample
 
+    def _safe_process(self, raw: Dict[str, bytes]):
+        """None = skip (missing members or handled error)."""
+        try:
+            if "jpg" not in raw or "npz" not in raw:
+                return None
+            return self._process(raw)
+        except Exception as exn:                      # noqa: BLE001
+            if self.handler(exn):
+                return None
+            raise
+
     def __iter__(self) -> Iterator[Dict[str, object]]:
+        from .prefetch import parallel_map
+
         shards = shard_split(self.shards, self.process_index,
                              self.process_count)
-        for shard in shards:
-            for raw in iter_tar_samples(shard, handler=self.handler):
-                try:
-                    if "jpg" not in raw or "npz" not in raw:
-                        continue
-                    yield self._process(raw)
-                except Exception as exn:              # noqa: BLE001
-                    if self.handler(exn):
-                        continue
-                    raise
+
+        def raws():
+            for shard in shards:
+                yield from iter_tar_samples(shard, handler=self.handler)
+
+        # tar streaming stays sequential (ordered IO); the CPU-heavy
+        # decode + 159-channel assembly fans out over threads
+        for sample in parallel_map(self._safe_process, raws(),
+                                   workers=self.workers):
+            if sample is not None:
+                yield sample
 
 
 # --------------------------------------------------------------------------
@@ -395,3 +413,118 @@ class SyntheticTokenBatches:
                     0, cfg.image_vocab_size, (b, cfg.image_length),
                     dtype=np.int32),
             }
+
+
+class StructuredSceneBatches:
+    """Learnable synthetic scenes: aligned RGB + 159-channel seg + boxes.
+
+    ``Synthetic*Batches`` draw iid per-pixel noise — right for shape/dtype
+    tests, useless for *quality* measurement (noise is incompressible, so a
+    VQ bottleneck cannot reconstruct it and recon metrics say nothing).
+    These scenes are compressible and statistically varied: a two-band
+    stuff background (horizon), 2-6 shaded elliptical "thing" instances
+    with random panoptic classes, and one person instance carrying
+    human-parts bands plus a 5-class face — the full channel plan of the
+    reference's annotator stack (``/root/reference/Data/README.md:16-29``)
+    without its networks.  RGB renders the same geometry (gradient
+    background, per-instance colors with radial shading), so (image, mask)
+    pairs are aligned and all three stages can train end-to-end on them.
+
+    Used by ``benchmarks/recon_quality.py`` to produce the measured recon
+    numbers BASELINE.md tracks.
+    """
+
+    #: COCO-panoptic-style ids: things < 80, stuff >= 80 (sky-ish/ground-ish)
+    SKY, GROUND = 119, 125
+    PERSON = 0
+
+    def __init__(self, batch_size: int, resolution: int = 256, seed: int = 0,
+                 max_boxes: int = 6):
+        self.batch_size = batch_size
+        self.resolution = resolution
+        self.max_boxes = max_boxes
+        self.rng = np.random.default_rng(seed)
+
+    def _ellipse(self, xx, yy, cx, cy, a, b):
+        return ((xx - cx) / a) ** 2 + ((yy - cy) / b) ** 2 <= 1.0
+
+    def _scene(self):
+        rng, r = self.rng, self.resolution
+        yy, xx = np.mgrid[0:r, 0:r].astype(np.float32)
+
+        horizon = int(rng.integers(r // 4, 3 * r // 4))
+        pan = np.where(yy < horizon, self.SKY, self.GROUND).astype(np.int64)
+        inst = np.where(yy < horizon, 0, 1).astype(np.int64)
+        hum = np.full((r, r), -1, np.int64)
+        face = np.zeros((r, r), np.int64)
+
+        c_sky = rng.random(3) * 0.5 + 0.5
+        c_gnd = rng.random(3) * 0.5
+        t = (yy / r)[..., None]
+        img = (1 - t) * c_sky + t * c_gnd          # vertical gradient
+        img = img.astype(np.float32)
+
+        boxes, next_inst = [], 2
+
+        def paint(m, color, cx, cy, a, b):
+            shade = 1.0 - 0.45 * (((xx - cx) / a) ** 2
+                                  + ((yy - cy) / b) ** 2)
+            img[m] = (color[None, None, :] * shade[..., None])[m]
+            ys, xs = np.nonzero(m)
+            boxes.append([xs.min(), ys.min(), xs.max(), ys.max()])
+
+        for _ in range(int(rng.integers(2, 6))):
+            a, b = rng.integers(r // 10, r // 4, 2)
+            cx = rng.integers(a, r - a)
+            cy = rng.integers(b, r - b)
+            m = self._ellipse(xx, yy, cx, cy, a, b)
+            pan[m] = int(rng.integers(1, 80))       # thing class (not person)
+            inst[m] = next_inst
+            next_inst += 1
+            paint(m, rng.random(3), cx, cy, a, b)
+
+        # person: body ellipse with 3 part bands + a small 5-class face
+        a, b = r // 8, r // 3
+        cx = int(rng.integers(a, r - a))
+        cy = int(rng.integers(b, r - b))
+        body = self._ellipse(xx, yy, cx, cy, a, b)
+        pan[body] = self.PERSON
+        inst[body] = next_inst
+        paint(body, rng.random(3) * 0.6 + 0.3, cx, cy, a, b)
+        rel = (yy - (cy - b)) / (2 * b)             # 0 head .. 1 feet
+        for lo, hi, part in ((0.0, 0.25, 13), (0.25, 0.6, 5),
+                             (0.6, 1.01, 9)):       # face/torso/legs-ish LIP
+            hum[body & (rel >= lo) & (rel < hi)] = part
+        fa, fb = max(a // 2, 4), max(b // 6, 4)
+        fcy = cy - b + fb + 1
+        fmask = self._ellipse(xx, yy, cx, fcy, fa, fb)
+        frel = (yy - (fcy - fb)) / (2 * fb)
+        for lo, hi, cls in ((0.1, 0.3, 2), (0.3, 0.5, 4), (0.45, 0.7, 3),
+                            (0.7, 0.85, 5), (0.85, 1.0, 1)):
+            face[fmask & (frel >= lo) & (frel < hi)] = cls   # brow/eye/nose/mouth/beard
+        if fmask.any():
+            ys, xs = np.nonzero(fmask)
+            face_boxes = [[xs.min(), ys.min(), xs.max(), ys.max()]]
+        else:
+            face_boxes = []
+
+        from .segmap import edges_from_instances
+        edge = edges_from_instances(inst)
+        mask = assemble_seg_map(pan, edge, hum, np.zeros_like(edge), face)
+        img += rng.normal(0.0, 0.01, img.shape).astype(np.float32)
+        return (np.clip(img, 0.0, 1.0), mask, boxes, face_boxes)
+
+    def __iter__(self):
+        m = self.max_boxes
+        while True:
+            imgs, masks, bo, bf = [], [], [], []
+            for _ in range(self.batch_size):
+                img, mask, boxes, face_boxes = self._scene()
+                imgs.append(img)
+                masks.append(mask)
+                bo.append(pad_boxes(
+                    sanitize_bboxes(boxes, frame=self.resolution), m))
+                bf.append(pad_boxes(
+                    sanitize_bboxes(face_boxes, frame=self.resolution), m))
+            yield {"image": np.stack(imgs), "mask": np.stack(masks),
+                   "bbox_obj": np.stack(bo), "bbox_face": np.stack(bf)}

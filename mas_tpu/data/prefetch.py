@@ -58,3 +58,31 @@ class PrefetchIterator:
 
 def prefetch(iterable: Iterable, size: int = 2) -> PrefetchIterator:
     return PrefetchIterator(iterable, size)
+
+
+def parallel_map(fn, iterable: Iterable, workers: int = 4,
+                 inflight: Optional[int] = None) -> Iterator:
+    """Order-preserving parallel map over an iterable.
+
+    The reference overlaps jpeg decode / seg assembly with training via 8
+    DataLoader worker processes per rank (``conf/img_config.yaml``); here a
+    thread pool suffices (PIL/numpy release the GIL) and keeps results in
+    shared memory.  ``inflight`` bounds submitted-but-unconsumed work
+    (host memory); defaults to ``4 * workers``.  Exceptions from ``fn``
+    surface at the failed item's position, preserving ordering semantics.
+    """
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    if workers <= 0:
+        yield from map(fn, iterable)
+        return
+    bound = inflight or 4 * workers
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending: "collections.deque" = collections.deque()
+        for item in iterable:
+            pending.append(pool.submit(fn, item))
+            if len(pending) >= bound:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()

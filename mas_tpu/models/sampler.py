@@ -45,12 +45,43 @@ def _guided(logits_2b, batch: int, scale: float):
     return uncond + scale * (cond - uncond)
 
 
+def _segment_plan(prefix: int, image_length: int, total: int,
+                  segment: int):
+    """Static decode segments [(start_step, end_step, cache_size), ...].
+
+    The attention read cost is proportional to the (static) cache length
+    in isolation (measured: T=512 runs 13% faster than T=640,
+    benchmarks/decode_ablation.py), so the scan can be split into segments
+    whose cache is the smallest ``segment``-multiple holding the positions
+    that segment touches — early tokens never read the padded tail.
+
+    MEASURED END-TO-END (v5e, 256² pipeline, batch 64+CFG, int8): the
+    segmented scan LOSES — 23.0 img/s (segment=128) vs 24.6 (single
+    full-size cache): the ~10% traffic saving is outweighed by the split
+    scan's scheduling overhead (XLA overlaps the full-cache reads across
+    layers so well that shrinking them buys little).  Default is therefore
+    0 (off); the knob remains for long-sequence geometries where the
+    skipped fraction is larger (512²: 32%).
+    """
+    if not segment:
+        return [(0, image_length - 1, total)]
+    plan = []
+    s = 0
+    while s < image_length - 1:
+        size = min(-(-(prefix + s + 1) // segment) * segment, total)
+        end = min(size - prefix, image_length - 1)
+        plan.append((s, end, size))
+        s = end
+    return plan
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "guidance_scale", "temperature", "top_k"))
+    static_argnames=("model", "guidance_scale", "temperature", "top_k",
+                     "cache_segment"))
 def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
                   rng, guidance_scale: float = 3.0, temperature: float = 1.0,
-                  top_k: int = 0) -> jax.Array:
+                  top_k: int = 0, cache_segment: int = 0) -> jax.Array:
     """Generate image tokens [B, image_length] given text + seg tokens."""
     cfg = model.cfg
     b = text_tokens.shape[0]
@@ -66,20 +97,31 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
     logits0, caches = model.apply(
         variables, text_all, seg_all, method=MakeAScene.prefill)
 
-    # preallocate full-length per-layer caches in the TRANSPOSED decode
-    # layout [B, H, hd, total] (sequence in lanes — see
-    # mas_tpu.ops.decode_attention); prefix occupies [0, prefix_length)
+    if (cfg.decode_ring_tail and cfg.kv_cache_dtype == "int8"
+            and cfg.total_length % RING == 0):
+        return _sample_tokens_ring(model, variables, caches, logits0, b,
+                                   bb, rng, guidance_scale, temperature,
+                                   top_k)
+
+    # preallocate per-layer caches in the TRANSPOSED decode layout
+    # [B, H, hd, size] (sequence in lanes — see mas_tpu.ops.
+    # decode_attention); prefix occupies [0, prefix_length).  Caches start
+    # at the first segment's size and grow between segments (zero-pad +
+    # one full copy per boundary, amortized over the segment's tokens).
     from ..ops.decode_attention import transpose_cache
     from ..ops.quant import QuantCache, quantize_kv
 
-    total = cfg.total_length
-    if cfg.kv_cache_dtype == "int8":
-        q_full = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, total),
-                           jnp.int8)
-        s_full = jnp.ones((bb, cfg.num_attn_heads, 1, total), jnp.float32)
+    plan = _segment_plan(cfg.prefix_length, cfg.image_length,
+                         cfg.total_length, cache_segment)
+    size0 = plan[0][2]
+    if cfg.kv_cache_dtype in ("int8", "int4"):
+        qdt = jnp.int4 if cfg.kv_cache_dtype == "int4" else jnp.int8
+        q_full = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, size0),
+                           qdt)
+        s_full = jnp.ones((bb, cfg.num_attn_heads, 1, size0), jnp.float32)
 
         def seed(kv):
-            qc = quantize_kv(transpose_cache(kv))
+            qc = quantize_kv(transpose_cache(kv), dtype=qdt)
             return QuantCache(
                 jax.lax.dynamic_update_slice(q_full, qc.q, (0, 0, 0, 0)),
                 jax.lax.dynamic_update_slice(s_full, qc.scale,
@@ -87,7 +129,7 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
 
         caches = tuple((seed(k), seed(v)) for k, v in caches)
     else:
-        full = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, total),
+        full = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, size0),
                          caches[0][0].dtype)
         caches = tuple(
             (jax.lax.dynamic_update_slice(full, transpose_cache(k),
@@ -95,6 +137,17 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
              jax.lax.dynamic_update_slice(full, transpose_cache(v),
                                           (0, 0, 0, 0)))
             for k, v in caches)
+
+    def grow(c, size):
+        extra = size - (c.q.shape[-1] if isinstance(c, QuantCache)
+                        else c.shape[-1])
+        if extra == 0:
+            return c
+        pad = ((0, 0), (0, 0), (0, 0), (0, extra))
+        if isinstance(c, QuantCache):
+            return QuantCache(jnp.pad(c.q, pad),
+                              jnp.pad(c.scale, pad, constant_values=1.0))
+        return jnp.pad(c, pad)
 
     rng, r0 = jax.random.split(rng)
     tok0 = _sample_logits(_guided(logits0, b, guidance_scale), r0,
@@ -111,10 +164,106 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
                              temperature, top_k)
         return (caches, nxt, rng), nxt
 
-    (_, _, _), rest = jax.lax.scan(
-        body, (caches, tok0, rng),
-        jnp.arange(cfg.image_length - 1))
-    tokens = jnp.concatenate([tok0[None], rest], axis=0)     # [T_img, B]
+    tok, parts = tok0, []
+    for start, end, size in plan:
+        caches = tuple((grow(k, size), grow(v, size)) for k, v in caches)
+        (caches, tok, rng), seg_toks = jax.lax.scan(
+            body, (caches, tok, rng), jnp.arange(start, end))
+        parts.append(seg_toks)
+    tokens = jnp.concatenate([tok0[None]] + parts, axis=0)   # [T_img, B]
+    return tokens.T.astype(jnp.int32)
+
+
+RING = 128
+
+
+def _sample_tokens_ring(model: MakeAScene, variables, prefill_caches,
+                        logits0, b, bb, rng, guidance_scale, temperature,
+                        top_k):
+    """Ring-tail decode (TransformerConfig.decode_ring_tail).
+
+    The bulk of each layer's cache lives in an int8 "frozen" pair that is
+    a closure constant of each segment's scan — XLA never copies it as a
+    carry.  Only the [B, H, hd, RING] compute-dtype tails are carried and
+    written per token.  Between segments the filled tail is quantized and
+    flushed into the frozen region at a static offset.
+    """
+    from ..ops.decode_attention import transpose_cache
+    from ..ops.quant import QuantCache, quantize_kv
+
+    cfg = model.cfg
+    prefix, total = cfg.prefix_length, cfg.total_length
+    tf = total - RING
+    tail_base0 = (prefix // RING) * RING
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    frozen, tails = [], []
+    for k, v in prefill_caches:
+        kt, vt = transpose_cache(k), transpose_cache(v)    # [B,H,hd,prefix]
+        fq = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, tf), jnp.int8)
+        fs = jnp.ones((bb, cfg.num_attn_heads, 1, tf), jnp.float32)
+
+        def seed_frozen(kv_t, fq=fq, fs=fs):
+            qc = quantize_kv(kv_t[..., :tail_base0])
+            return QuantCache(
+                jax.lax.dynamic_update_slice(fq, qc.q, (0, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(fs, qc.scale, (0, 0, 0, 0)))
+
+        def seed_tail(kv_t):
+            t = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, RING), dt)
+            if prefix > tail_base0:
+                t = jax.lax.dynamic_update_slice(
+                    t, kv_t[..., tail_base0:prefix].astype(dt),
+                    (0, 0, 0, 0))
+            return t
+
+        frozen.append((seed_frozen(kt), seed_frozen(vt)))
+        tails.append((seed_tail(kt), seed_tail(vt)))
+    frozen, tails = tuple(frozen), tuple(tails)
+
+    rng, r0 = jax.random.split(rng)
+    tok0 = _sample_logits(_guided(logits0, b, guidance_scale), r0,
+                          temperature, top_k)
+
+    def flush(frozen, tails, base):
+        """Quantize the filled tails into the frozen region at ``base``."""
+        out = []
+        for (fk, fv), (tk, tv) in zip(frozen, tails):
+            def put(f, t):
+                qc = quantize_kv(t)
+                return QuantCache(
+                    jax.lax.dynamic_update_slice(f.q, qc.q, (0, 0, 0, base)),
+                    jax.lax.dynamic_update_slice(f.scale, qc.scale,
+                                                 (0, 0, 0, base)))
+            out.append((put(fk, tk), put(fv, tv)))
+        return tuple(out)
+
+    plan = _segment_plan(prefix, cfg.image_length, total, RING)
+    tok, parts, prev_base = tok0, [], None
+    for start, end, size in plan:
+        tail_base = size - RING
+        if prev_base is not None:
+            frozen = flush(frozen, tails, prev_base)
+            zero = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, RING),
+                             dt)
+            tails = tuple((zero, zero) for _ in tails)
+        prev_base = tail_base
+
+        def body(carry, step, frozen=frozen, tail_base=tail_base):
+            tails, tok, rng = carry
+            tok_in = jnp.tile(tok, (bb // b,))[:, None]
+            logits, tails = model.apply(
+                variables, tok_in, step, frozen, tails, tail_base,
+                method=MakeAScene.ring_decode_step)
+            rng, r = jax.random.split(rng)
+            nxt = _sample_logits(_guided(logits, b, guidance_scale), r,
+                                 temperature, top_k)
+            return (tails, nxt, rng), nxt
+
+        (tails, tok, rng), seg_toks = jax.lax.scan(
+            body, (tails, tok, rng), jnp.arange(start, end))
+        parts.append(seg_toks)
+    tokens = jnp.concatenate([tok0[None]] + parts, axis=0)
     return tokens.T.astype(jnp.int32)
 
 

@@ -171,12 +171,21 @@ class SelfAttention(nn.Module):
         q, k_new, v_new = self._qkv(x)
         if cfg.rudalle_relax and isinstance(k_cache, QuantCache):
             raise TypeError("rudalle_relax decode needs a float KV cache")
+        decode_impl = cfg.decode_attention_impl
+        if decode_impl == "auto" and cfg.attention_impl in (
+                "pallas", "pallas_interpret"):
+            decode_impl = cfg.attention_impl
         if isinstance(k_cache, QuantCache):
-            k_cache = update_quant_cache(
-                k_cache, k_new.transpose(0, 1, 3, 2), index)
-            v_cache = update_quant_cache(
-                v_cache, v_new.transpose(0, 1, 3, 2), index)
-            ctx = decode_attention_int8(q, k_cache, v_cache, index)
+            import os as _os
+            if not _os.environ.get("MAS_SKIP_KV_WRITE"):   # timing ablation
+                k_cache = update_quant_cache(
+                    k_cache, k_new.transpose(0, 1, 3, 2), index)
+                v_cache = update_quant_cache(
+                    v_cache, v_new.transpose(0, 1, 3, 2), index)
+            impl = (decode_impl if decode_impl in
+                    ("pallas", "pallas_interpret") else "jnp")
+            ctx = decode_attention_int8(q, k_cache, v_cache, index,
+                                        impl=impl)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
             return self.out_proj(ctx), (k_cache, v_cache)
         k_cache = jax.lax.dynamic_update_slice(
@@ -196,12 +205,60 @@ class SelfAttention(nn.Module):
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
             ctx = (ctx / _detached_max(ctx)).astype(_dt(cfg))
             return self.out_proj(ctx), (k_cache, v_cache)
-        impl = cfg.attention_impl
-        if impl not in ("pallas", "pallas_interpret"):
-            impl = "jnp"
+        impl = (decode_impl if decode_impl in ("pallas", "pallas_interpret")
+                else "jnp")
         ctx = decode_attention(q, k_cache, v_cache, index, impl=impl)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
         return self.out_proj(ctx), (k_cache, v_cache)
+
+    def ring_decode(self, x, frozen_k, frozen_v, tail_k, tail_v, index,
+                    tail_base: int):
+        """Ring-tail decode step (see TransformerConfig.decode_ring_tail).
+
+        ``frozen_*`` are int8 ``QuantCache``s [B, H, hd, Tf] holding
+        positions [0, tail_base) — read-only here, so the sampler can keep
+        them as scan invariants (no whole-cache carry copies).  ``tail_*``
+        are compute-dtype [B, H, hd, ring] buffers for positions
+        [tail_base, tail_base + ring); the new token's k/v lands there via
+        a small-buffer DUS.  ``tail_base`` is static per scan segment.
+        """
+        import math as _math
+
+        cfg = self.cfg
+        b = x.shape[0]
+        q, k_new, v_new = self._qkv(x)
+        off = index - tail_base
+        tail_k = jax.lax.dynamic_update_slice(
+            tail_k, k_new.transpose(0, 1, 3, 2).astype(tail_k.dtype),
+            (0, 0, 0, off))
+        tail_v = jax.lax.dynamic_update_slice(
+            tail_v, v_new.transpose(0, 1, 3, 2).astype(tail_v.dtype),
+            (0, 0, 0, off))
+        scale = 1.0 / _math.sqrt(cfg.head_dim)
+        qf = (q * jnp.asarray(scale, q.dtype)).astype(jnp.float32)
+        tf = frozen_k.q.shape[-1]
+        s_f = jnp.einsum("bhqd,bhdk->bhqk", qf,
+                         frozen_k.q.astype(jnp.float32),
+                         preferred_element_type=jnp.float32) * frozen_k.scale
+        kpos = jnp.arange(tf)
+        s_f = jnp.where(kpos < tail_base, s_f, jnp.float32(-1e30))
+        s_t = jnp.einsum("bhqd,bhdk->bhqk", qf,
+                         tail_k.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        tpos = jnp.arange(tail_k.shape[-1])
+        s_t = jnp.where(tpos <= off, s_t, jnp.float32(-1e30))
+        p = jax.nn.softmax(jnp.concatenate([s_f, s_t], axis=-1), axis=-1)
+        p_f = p[..., :tf] * frozen_v.scale
+        p_t = p[..., tf:]
+        ctx = (jnp.einsum("bhqk,bhdk->bhqd", p_f,
+                          frozen_v.q.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhqk,bhdk->bhqd", p_t,
+                            tail_v.astype(jnp.float32),
+                            preferred_element_type=jnp.float32))
+        ctx = ctx.astype(q.dtype).transpose(0, 2, 1, 3).reshape(
+            b, 1, cfg.hidden_dim)
+        return self.out_proj(ctx), (tail_k, tail_v)
 
 
 def _detached_max(t, axis=None, keepdims=False):
@@ -364,6 +421,13 @@ class TransformerLayer(nn.Module):
         a, (k_cache, v_cache) = self.attn.decode(
             self.ln_in(self._prescale(x)), k_cache, v_cache, index)
         return self._post_attn(x, a), (k_cache, v_cache)
+
+    def ring_decode(self, x, frozen_k, frozen_v, tail_k, tail_v, index,
+                    tail_base: int):
+        a, tails = self.attn.ring_decode(
+            self.ln_in(self._prescale(x)), frozen_k, frozen_v,
+            tail_k, tail_v, index, tail_base)
+        return self._post_attn(x, a), tails
 
 
 class MakeAScene(nn.Module):
@@ -537,3 +601,23 @@ class MakeAScene(nn.Module):
         h = self._final_ln(x)
         logits = self.to_logits(h)[:, 0]
         return logits, tuple(new_caches)
+
+    def ring_decode_step(self, img_token, step, frozen, tails,
+                         tail_base: int):
+        """Ring-tail cached decode step (decode_ring_tail serving mode).
+
+        ``frozen``: per-layer ((k QuantCache, v QuantCache)) — read-only;
+        ``tails``: per-layer (tail_k, tail_v) compute-dtype buffers;
+        ``tail_base``: static base position of the tail window.
+        Returns (logits [B, vocab], new tails).
+        """
+        cfg = self.cfg
+        index = cfg.prefix_length + step
+        x = self.embed_image(img_token, past_length=step)
+        new_tails = []
+        for layer, (fk, fv), (tk, tv) in zip(self.layers, frozen, tails):
+            x, tkv = layer.ring_decode(x, fk, fv, tk, tv, index, tail_base)
+            new_tails.append(tkv)
+        h = self._final_ln(x)
+        logits = self.to_logits(h)[:, 0]
+        return logits, tuple(new_tails)

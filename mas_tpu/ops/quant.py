@@ -23,6 +23,7 @@ Caches use the TRANSPOSED decode layout [B, H, d, T] (see
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -39,12 +40,22 @@ class QuantCache(NamedTuple):
     scale: jax.Array    # fp32 [B, H, 1, T]
 
 
-def quantize_kv(kv_t: jax.Array, eps: float = 1e-8) -> QuantCache:
-    """[B, H, d, T] float -> int8 cache + per-position scales."""
+def quantize_kv(kv_t: jax.Array, eps: float = 1e-8,
+                dtype=jnp.int8) -> QuantCache:
+    """[B, H, d, T] float -> int8/int4 cache + per-position scales.
+
+    int4 (qmax 7) halves the cache read traffic again vs int8 — the decode
+    step's dominant HBM stream — at ~2 bits less precision per value;
+    offered as an opt-in serving mode (quality measured in BASELINE.md).
+    NOTE: int4 arrays cannot cross a jit boundary on the axon backend
+    (device_put recursion bug) — the sampler creates/consumes them inside
+    one jit, which is fine.
+    """
+    qmax = 7.0 if dtype == jnp.int4 else 127.0
     f = kv_t.astype(jnp.float32)
     amax = jnp.max(jnp.abs(f), axis=2, keepdims=True)          # [B,H,1,T]
-    scale = jnp.maximum(amax, eps) / 127.0
-    q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(amax, eps) / qmax
+    q = jnp.clip(jnp.round(f / scale), -qmax, qmax).astype(dtype)
     return QuantCache(q=q, scale=scale)
 
 
@@ -54,8 +65,17 @@ def dequantize_kv(cache: QuantCache) -> jax.Array:
 
 def update_quant_cache(cache: QuantCache, new_t: jax.Array,
                        index) -> QuantCache:
-    """Write one new position (``new_t`` [B, H, d, 1]) at ``index``."""
-    qc = quantize_kv(new_t)
+    """Write one new position (``new_t`` [B, H, d, 1]) at ``index``.
+
+    Stays on ``dynamic_update_slice`` deliberately.  MEASURED (v5e, B=128,
+    H=16, d=64, T=640): in an ISOLATED single-cache scan a lane-mask
+    ``where`` select beats DUS 0.58 vs 0.94 ms/step/layer — but in the
+    REAL 24-layer sampler (48 carried cache buffers) the select variant
+    collapsed to 14.2 img/s vs 24.6 (and a 590 s compile): XLA loses
+    in-place carry aliasing and copies caches wholesale.  Microbenchmarks
+    do not transfer here; only end-to-end bench.py numbers decide.
+    """
+    qc = quantize_kv(new_t, dtype=cache.q.dtype)
     return QuantCache(
         q=jax.lax.dynamic_update_slice(cache.q, qc.q, (0, 0, 0, index)),
         scale=jax.lax.dynamic_update_slice(cache.scale, qc.scale,
@@ -63,13 +83,25 @@ def update_quant_cache(cache: QuantCache, new_t: jax.Array,
 
 
 def decode_attention_int8(q, k_cache: QuantCache, v_cache: QuantCache,
-                          index):
+                          index, impl: str = "jnp"):
     """Single-token attention over int8 caches, masked to <= index.
 
-    q [B, H, 1, d] float; returns [B, H, 1, d] in q's dtype.  The int8
-    operands enter the einsums directly (cast fused into the load); scales
-    fold in outside the contractions.
+    q [B, H, 1, d] float; returns [B, H, 1, d] in q's dtype.
+
+    impl='jnp' (default): XLA path — int8 operands enter the einsums
+    directly (cast fused into the load), scales fold in outside the
+    contractions; reads the ENTIRE padded cache.
+    impl='pallas'/'pallas_interpret': fused HBM kernel that DMAs only
+    ``ceil((index+1)/128)`` cache blocks (skipping the invalid tail),
+    folds both scales and the softmax into one pass.
     """
+    if (impl in ("pallas", "pallas_interpret")
+            and k_cache.q.shape[3] % _INT8_DECODE_BLOCK == 0):
+        # cache lengths that don't tile the 128-lane DMA block (tiny test
+        # geometries) fall through to the jnp path
+        return _decode_attention_int8_pallas(
+            q, k_cache.q, k_cache.scale, v_cache.q, v_cache.scale, index,
+            interpret=(impl == "pallas_interpret"))
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
     # s[b,h,1,t] = (q . k_q[:, t]) * ks[t]
@@ -88,3 +120,130 @@ def decode_attention_int8(q, k_cache: QuantCache, v_cache: QuantCache,
                      v_cache.q.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas kernel: int8 cache blocks + scales + softmax in one pass
+# ---------------------------------------------------------------------------
+
+_INT8_DECODE_BLOCK = 128
+
+
+def _int8_decode_kernel(idx_ref, q_ref, kq_hbm, ks_hbm, vq_hbm, vs_hbm,
+                        o_ref, k_buf, ks_buf, v_buf, vs_buf, sems, *,
+                        blk, scale):
+    """Grid = (batch,).  Per step: DMA one [H, d, blk] int8 block of k and v
+    plus their [H, 1, blk] fp32 scales (double-buffered), compute the
+    flash-style masked softmax update with the scales folded in.  Only
+    ``ceil(valid / blk)`` blocks move — the invalid tail is never read
+    (the jnp path reads the full padded cache every token).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    valid = idx_ref[0] + 1
+    nblk = pl.cdiv(valid, blk)
+    q = q_ref[0].astype(jnp.float32) * scale                 # [H, d]
+
+    def transfers(j, slot):
+        sl = pl.ds(j * blk, blk)
+        return (
+            pltpu.make_async_copy(kq_hbm.at[i, :, :, sl], k_buf.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(ks_hbm.at[i, :, :, sl], ks_buf.at[slot],
+                                  sems.at[slot, 1]),
+            pltpu.make_async_copy(vq_hbm.at[i, :, :, sl], v_buf.at[slot],
+                                  sems.at[slot, 2]),
+            pltpu.make_async_copy(vs_hbm.at[i, :, :, sl], vs_buf.at[slot],
+                                  sems.at[slot, 3]),
+        )
+
+    for t in transfers(0, 0):
+        t.start()
+
+    def body(j, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(j, 2)
+        for t in transfers(j, slot):
+            t.wait()
+
+        @pl.when(j + 1 < nblk)
+        def _():
+            for t in transfers(j + 1, jax.lax.rem(j + 1, 2)):
+                t.start()
+
+        k = k_buf[slot].astype(jnp.float32)                  # [H, d, blk]
+        ks = ks_buf[slot][:, 0, :]                           # [H, blk]
+        # batched matvec on the VPU (Mosaic rejects batched dot_general);
+        # s[h, t] = (q[h, :] . k_q[h, :, t]) * ks[h, t]
+        s = jnp.sum(q[:, :, None] * k, axis=1) * ks          # [H, blk]
+        h = q.shape[0]
+        kpos = j * blk + jax.lax.broadcasted_iota(jnp.int32, (h, blk), 1)
+        s = jnp.where(kpos < valid, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        # fold the v scales into the probs, then accumulate
+        pv = p * vs_buf[slot][:, 0, :]                       # [H, blk]
+        acc = acc * alpha + jnp.sum(
+            pv[:, None, :] * v_buf[slot].astype(jnp.float32), axis=2)
+        return m_new, l, acc
+
+    h, d = q_ref.shape[1], q_ref.shape[2]
+    m0 = jnp.full((h, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((h, 1), jnp.float32)
+    acc0 = jnp.zeros((h, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "interpret"))
+def _decode_attention_int8_pallas(q, kq, ks, vq, vs, index,
+                                  blk: int = _INT8_DECODE_BLOCK,
+                                  interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, _, d = q.shape
+    t = kq.shape[3]
+    assert t % blk == 0, (t, blk)
+    qf = q.reshape(b, h, d)
+    scale = 1.0 / math.sqrt(d)
+    idx = jnp.asarray(index, jnp.int32).reshape(1)
+
+    kernel = functools.partial(_int8_decode_kernel, blk=blk, scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, d), lambda i, idx_ref: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),   # k int8
+            pl.BlockSpec(memory_space=pltpu.HBM),   # k scales
+            pl.BlockSpec(memory_space=pltpu.HBM),   # v int8
+            pl.BlockSpec(memory_space=pltpu.HBM),   # v scales
+        ],
+        out_specs=pl.BlockSpec((1, h, d), lambda i, idx_ref: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, h, d, blk), jnp.int8),
+            pltpu.VMEM((2, h, 1, blk), jnp.float32),
+            pltpu.VMEM((2, h, d, blk), jnp.int8),
+            pltpu.VMEM((2, h, 1, blk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t * d, transcendentals=b * h * t,
+            bytes_accessed=2 * b * h * t * (d + 4)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(idx, qf, kq, ks, vq, vs)
+    return out.reshape(b, h, 1, d)

@@ -230,6 +230,11 @@ class TransformerConfig(_Base):
     compute_dtype: str = "float32"
     # 'auto' picks pallas flash attention on TPU, jnp elsewhere
     attention_impl: str = "auto"
+    # single-token cached decode attention: 'auto' | 'jnp' | 'pallas' |
+    # 'pallas_interpret'.  'auto' falls back to attention_impl when that is
+    # an explicit pallas choice, else uses the measured per-cache-dtype
+    # default (see models/transformer.py::SelfAttention.decode)
+    decode_attention_impl: str = "auto"
     # rematerialize each layer's activations in the backward pass
     # (jax.checkpoint): trades ~30% step FLOPs for O(layers) less
     # activation memory — the standard lever for the 1408-token geometry
@@ -242,6 +247,13 @@ class TransformerConfig(_Base):
     # 'int8' (symmetric per-position quantization — halves the cache HBM
     # traffic that dominates large-batch decode; see ops/quant.py)
     kv_cache_dtype: str = "compute"
+    # ring-tail decode (int8 cache only): keep the bulk of the cache as an
+    # immutable int8 "frozen" region (a scan INVARIANT — no per-token
+    # dynamic_update_slice on 84 MB carries) and write new tokens into a
+    # small compute-dtype tail buffer, flushed (quantized) into the frozen
+    # region every 128 tokens between scan segments.  Requires
+    # total_length % 128 == 0; falls back to the plain cache otherwise.
+    decode_ring_tail: bool = False
 
     def __post_init__(self):
         if self.hidden_dim % self.num_attn_heads:
@@ -253,11 +265,15 @@ class TransformerConfig(_Base):
             raise ConfigError(
                 "rudalle_relax is a refinement of the PB-relax branch "
                 "(reference transformer.py:47-55); enable cogview_pb_relax")
-        if self.rudalle_relax and self.kv_cache_dtype == "int8":
+        if self.kv_cache_dtype not in ("compute", "int8", "int4"):
+            raise ConfigError(
+                f"kv_cache_dtype must be compute/int8/int4, got "
+                f"{self.kv_cache_dtype!r}")
+        if self.rudalle_relax and self.kv_cache_dtype != "compute":
             raise ConfigError(
                 "rudalle_relax requires a floating-point KV cache (its "
                 "masked sigma/max statistics are not defined over the "
-                "int8-quantized cache)")
+                "quantized cache)")
 
     @property
     def head_dim(self) -> int:

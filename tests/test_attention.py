@@ -183,6 +183,23 @@ class TestInt8KVCache:
         full = decode_attention_jnp(q, k_t, v_t, idx)
         assert np.max(np.abs(np.asarray(out8) - np.asarray(full))) < 0.05
 
+    def test_int8_fused_pallas_matches_jnp(self):
+        """The fused int8 decode kernel (block-skipping + scales + softmax
+        in one pass) must match the XLA int8 path bit-for-bit-ish."""
+        from mas_tpu.ops.quant import decode_attention_int8, quantize_kv
+
+        ks = jax.random.split(jax.random.PRNGKey(4), 3)
+        q = jax.random.normal(ks[0], (2, 4, 1, 64))
+        k_t = jax.random.normal(ks[1], (2, 4, 64, 256))
+        v_t = jax.random.normal(ks[2], (2, 4, 64, 256))
+        kq, vq = quantize_kv(k_t), quantize_kv(v_t)
+        for idx in (0, 100, 255):
+            ref = decode_attention_int8(q, kq, vq, jnp.int32(idx))
+            out = decode_attention_int8(q, kq, vq, jnp.int32(idx),
+                                        impl="pallas_interpret")
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-5, rtol=1e-4)
+
     def test_update_quant_cache_write(self):
         from mas_tpu.ops.quant import (dequantize_kv, quantize_kv,
                                        update_quant_cache)

@@ -143,6 +143,35 @@ def test_web_dataset_end_to_end(tmp_path):
     assert batch["bbox_obj"].shape == (2, 4, 4)
 
 
+def test_web_dataset_parallel_workers_preserve_order(tmp_path):
+    """workers=4 must yield exactly the same samples, in the same order,
+    as the inline single-threaded path (workers=0)."""
+    tar = str(tmp_path / "shard0.tar")
+    _write_sample_tar(tar, n_samples=8, res=64)
+    inline = list(PreprocessedWebDataset(tar, resolution=64, workers=0))
+    threaded = list(PreprocessedWebDataset(tar, resolution=64, workers=4))
+    assert len(inline) == len(threaded) == 8
+    for a, b in zip(inline, threaded):
+        assert a["caption"] == b["caption"]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+
+
+def test_parallel_map_propagates_errors_and_skips():
+    from mas_tpu.data.prefetch import parallel_map
+
+    def f(x):
+        if x == 5:
+            raise ValueError("boom")
+        return x * 2
+
+    out = []
+    with pytest.raises(ValueError):
+        for y in parallel_map(f, range(10), workers=3):
+            out.append(y)
+    assert out == [0, 2, 4, 6, 8]   # order preserved up to the failure
+
+
 def test_web_dataset_resizes_mask_with_image(tmp_path):
     """Non-square, non-target-res source: mask must be resized+center-cropped
     jointly with the image (reference dataset_preprocessor_web.py:36-38)."""

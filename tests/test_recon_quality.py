@@ -1,0 +1,61 @@
+"""Smoke-test the recon-quality benchmark plumbing (tiny CPU geometry).
+
+benchmarks/recon_quality.py is the script that produces BASELINE.md's
+measured quality numbers on the real chip; this pins its three stages
+end-to-end (train -> eval -> metrics json -> grids) so the on-chip run
+never dies late.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import benchmarks.recon_quality as rq
+from mas_tpu.utils.config import (CodebookConfig, TransformerConfig,
+                                  vq_img_config, vq_seg_config)
+
+
+TINY_CB = CodebookConfig(codebook_size=16, init_steps=2,
+                         reservoir_size=512, samples_per_image=4,
+                         kmeans_iters=2)
+
+
+@pytest.fixture()
+def tiny(tmp_path, monkeypatch):
+    monkeypatch.setattr(rq, "RES", 32)
+    monkeypatch.setattr(rq, "BATCH", 8)
+    monkeypatch.setattr(rq, "AR_BATCH", 8)
+    monkeypatch.setattr(rq, "CKPT", str(tmp_path / "ckpt"))
+    monkeypatch.setattr(rq, "RESULTS", str(tmp_path / "results"))
+    chans = (32, 32, 32, 32, 32, 32)
+    monkeypatch.setattr(rq, "seg_model_cfg", lambda: vq_seg_config(
+        resolution=32, attn_resolutions=(2,), channels=chans,
+        z_channels=16, embed_dim=16,
+        codebook=TINY_CB.replace(codebook_size=16)))
+    monkeypatch.setattr(rq, "img_model_cfg", lambda: vq_img_config(
+        resolution=32, attn_resolutions=(2,), channels=chans,
+        z_channels=16, embed_dim=16, codebook=TINY_CB))
+    monkeypatch.setattr(rq, "ar_cfg", lambda: TransformerConfig(
+        num_layers=2, hidden_dim=32, num_attn_heads=4,
+        image_vocab_size=16, seg_vocab_size=16,
+        text_vocab_size=64 + rq.TEXT_LEN, image_tokens_per_dim=2,
+        seg_tokens_per_dim=2, text_length=rq.TEXT_LEN))
+    return tmp_path
+
+
+def test_all_stages_produce_metrics_and_grids(tiny):
+    rq.stage_seg(steps=8)
+    rq.stage_img(steps=8, disc_start=4)
+    rq.stage_ar(steps=4)
+    with open(os.path.join(rq.RESULTS, "recon_quality.json")) as f:
+        data = json.load(f)
+    assert 0.0 <= data["seg"]["argmax_accuracy"] <= 1.0
+    assert data["img"]["psnr"] > 0
+    assert np.isfinite(data["img"]["recon_fid_vgg"])
+    for kv in ("int8", "int4"):
+        assert 0.0 <= data["ar"][f"{kv}_token_agreement"] <= 1.0
+        assert data["ar"][f"{kv}_sample_l1_delta"] >= 0.0
+    assert os.path.exists(os.path.join(rq.RESULTS, "vqimg_recon_grid.png"))
+    assert os.path.exists(os.path.join(rq.RESULTS, "ar_samples_grid.png"))
