@@ -72,7 +72,8 @@ def seg_batches(seed=0):
 
 
 def train_cfg(name: str, steps: int, **kw) -> TrainConfig:
-    return TrainConfig(total_steps=steps, batch_size=BATCH, log_period=200,
+    kw.setdefault("batch_size", BATCH)
+    return TrainConfig(total_steps=steps, log_period=200,
                        save_period=steps, optimizer=OPT, disc_optimizer=OPT,
                        checkpoint_dir=os.path.join(CKPT, name), **kw)
 
@@ -234,14 +235,20 @@ def scene_text_tokens(batch) -> np.ndarray:
     return text
 
 
-def restore_vq(name: str, mcfg):
+def restore_vq(name: str, mcfg, with_disc: bool = False):
+    from mas_tpu.losses.discriminator import PatchDiscriminator
     from mas_tpu.models.vqvae import VQModel
     from mas_tpu.train.loop import _maybe_resume
     from mas_tpu.train.state import create_vq_train_state, make_adam
 
     model = VQModel(mcfg)
+    # the saved pytree must match: the img stage's checkpoint carries the
+    # discriminator + its optimizer state
+    disc = PatchDiscriminator() if with_disc else None
     state = create_vq_train_state(model, mcfg, make_adam(OPT),
-                                  jax.random.PRNGKey(0))
+                                  jax.random.PRNGKey(0), disc_model=disc,
+                                  disc_tx=make_adam(OPT) if with_disc
+                                  else None)
     state = _maybe_resume(
         train_cfg(name, 1, mode="pretrain_segmentation").replace(resume=True),
         state)
@@ -260,7 +267,7 @@ def stage_ar(steps: int = 4000):
 
     tcfg = ar_cfg()
     seg_model, seg_vars = restore_vq("seg", seg_model_cfg())
-    img_model, img_vars = restore_vq("img", img_model_cfg())
+    img_model, img_vars = restore_vq("img", img_model_cfg(), with_disc=True)
     seg_enc = jax.jit(lambda x: seg_model.apply(
         seg_vars, x, method=VQModel.encode_tokens))
     img_enc = jax.jit(lambda x: img_model.apply(
@@ -296,7 +303,8 @@ def stage_ar(steps: int = 4000):
         toks = sample_tokens(model, variables, text, seg_t.astype(jnp.int32),
                              jax.random.PRNGKey(11), guidance_scale=2.0,
                              temperature=1.0, top_k=64)
-        grid = toks.reshape(-1, 16, 16)
+        grid = toks.reshape(-1, tcfg.image_tokens_per_dim,
+                            tcfg.image_tokens_per_dim)
         samples[kv] = dict(
             tokens=np.asarray(toks),
             pixels=np.clip(np.asarray(img_dec(grid)), 0.0, 1.0))

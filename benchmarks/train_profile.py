@@ -1,0 +1,151 @@
+"""Flagship transformer train-step attribution (VERDICT r1 #6).
+
+Round 1 measured 1240 ms/step (24L/1024h, T=1408, batch 16, bf16,
+remat+flash) ~= 19% MFU and left "where do the other 81% go" unanswered.
+This script answers it by measured subtraction INSIDE the real jitted
+train step (the same methodology as benchmarks/decode_ablation.py —
+isolated microbenches mislead):
+
+  * component passthroughs: attention -> identity, MLP -> identity,
+    sandwich-LN off  => each component's inclusive share,
+  * remat policy: nothing / dots / off,
+  * batch sweep => tokens/s scaling,
+  * MFU from the analytic model-flop count (fwd 2NBT + bwd 4NBT +
+    attention scores; recompute NOT counted — the standard convention).
+
+Run: python benchmarks/train_profile.py [--quick]   (real TPU, ~15 min)
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mas_tpu.models import transformer as tfm
+from mas_tpu.utils.config import OptimizerConfig, TransformerConfig
+from mas_tpu.train.state import TransformerTrainState, make_adam
+from mas_tpu.train.steps import make_transformer_train_step
+
+V5E_PEAK = 197e12   # bf16 flops/s
+
+
+def flagship(**kw) -> TransformerConfig:
+    base = dict(num_layers=24, hidden_dim=1024, num_attn_heads=16,
+                image_vocab_size=8192, seg_vocab_size=1024,
+                text_vocab_size=16384 + 128, image_tokens_per_dim=32,
+                seg_tokens_per_dim=16, text_length=128,
+                compute_dtype="bfloat16", remat=True,
+                remat_policy="nothing")
+    base.update(kw)
+    return TransformerConfig(**base)
+
+
+def model_flops(cfg: TransformerConfig, batch: int) -> float:
+    """Analytic model flops per step (no remat recompute — MFU convention)."""
+    h, t, b, L = cfg.hidden_dim, cfg.total_length, batch, cfg.num_layers
+    layer_matmul = 2 * 12 * h * h          # qkv + out + 2 mlp, flops/token
+    fwd = layer_matmul * L * b * t
+    # attention scores: 2 matmuls, ~55% of the T^2 mask visible
+    fwd += 2 * 2 * b * cfg.num_attn_heads * t * t * cfg.head_dim * 0.55
+    # vocab projection over image positions only
+    fwd += 2 * b * (cfg.image_length + 1) * h * cfg.image_vocab_size
+    return 3.0 * fwd                        # bwd = 2x fwd
+
+
+def bench_step(cfg: TransformerConfig, batch: int, iters: int = 4,
+               label: str = "") -> float:
+    model = tfm.MakeAScene(cfg)
+    tx = make_adam(OptimizerConfig(lr=1e-4))
+    rng = jax.random.PRNGKey(0)
+    text = jnp.zeros((1, cfg.text_length), jnp.int32)
+    seg = jnp.zeros((1, cfg.seg_length), jnp.int32)
+    img = jnp.zeros((1, cfg.image_length), jnp.int32)
+    variables = jax.jit(model.init)(rng, text, seg, img)
+    state = TransformerTrainState(step=jnp.zeros((), jnp.int32),
+                                  params=variables["params"],
+                                  opt_state=tx.init(variables["params"]))
+    step = make_transformer_train_step(model, tx)
+    bt = jax.random.randint(rng, (batch, cfg.text_length), 1, 1000)
+    bs = jax.random.randint(rng, (batch, cfg.seg_length), 0, 1024)
+    bi = jax.random.randint(rng, (batch, cfg.image_length), 0, 8192)
+    t0 = time.time()
+    state, m = step(state, bt, bs, bi, rng)
+    float(m["loss"])                        # force completion (axon: no
+    compile_s = time.time() - t0            # block_until_ready)
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        state, m = step(state, bt, bs, bi, rng)
+        float(m["loss"])
+        times.append(time.time() - t0)
+    ms = float(np.median(times) * 1e3)
+    mfu = model_flops(cfg, batch) / (ms / 1e3) / V5E_PEAK
+    print(f"{label:34s} batch {batch:3d}: {ms:7.1f} ms/step  "
+          f"{batch * cfg.total_length / ms * 1e3 / 1e3:7.1f} ktok/s  "
+          f"MFU {mfu * 100:5.1f}%  (compile {compile_s:.0f}s)", flush=True)
+    return ms
+
+
+def safe(fn, *a, **kw):
+    """OOM on one variant must not kill the sweep."""
+    try:
+        return fn(*a, **kw)
+    except Exception as exn:                                  # noqa: BLE001
+        print(f"  FAILED ({type(exn).__name__}): "
+              f"{str(exn).splitlines()[0][:120]}", flush=True)
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    print("== remat / batch ==", flush=True)
+    base_ms = bench_step(flagship(), 16, label="baseline (remat nothing)")
+    safe(bench_step, flagship(remat_policy="dots"), 16, label="remat dots")
+    safe(bench_step, flagship(remat_policy="mlp"), 16, label="remat mlp-only")
+    if not args.quick:
+        safe(bench_step, flagship(remat=False), 8, label="no remat")
+        safe(bench_step, flagship(remat=False), 12, label="no remat")
+        safe(bench_step, flagship(remat_policy="mlp"), 24,
+             label="remat mlp-only")
+        safe(bench_step, flagship(remat_policy="mlp"), 32,
+             label="remat mlp-only")
+        safe(bench_step, flagship(), 32, label="baseline")
+
+    print("== component passthroughs (inclusive share) ==", flush=True)
+    orig_attn = tfm.SelfAttention.__call__
+    orig_mlp = tfm.MLP.__call__
+
+    def attn_passthrough(self, x, mask, return_kv=False, prefix_length=None):
+        return (x, (x, x)) if return_kv else x
+
+    tfm.SelfAttention.__call__ = attn_passthrough
+    no_attn = safe(bench_step, flagship(), 16, label="attention removed")
+    tfm.SelfAttention.__call__ = orig_attn
+
+    tfm.MLP.__call__ = lambda self, x: x
+    no_mlp = safe(bench_step, flagship(), 16, label="mlp removed")
+    tfm.MLP.__call__ = orig_mlp
+
+    no_sand = safe(bench_step, flagship(cogview_sandwich_layernorm=False),
+                   16, label="sandwich LN off")
+    for name, ms in (("attention", no_attn), ("mlp", no_mlp),
+                     ("sandwich-LN", no_sand)):
+        if ms is not None:
+            print(f"{name}: {100 * (base_ms - ms) / base_ms:.0f}% of the "
+                  f"step", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -388,7 +388,10 @@ class TransformerLayer(nn.Module):
             self.first_ln_sandwich = LayerNorm(name="first_ln_sandwich")
             self.second_ln_sandwich = LayerNorm(name="second_ln_sandwich")
         self.attn = SelfAttention(cfg, name="attn")
-        self.mlp = MLP(cfg, name="mlp")
+        mlp_cls = MLP
+        if cfg.remat and cfg.remat_policy == "mlp":
+            mlp_cls = nn.remat(MLP)
+        self.mlp = mlp_cls(cfg, name="mlp")
 
     def _prescale(self, t):
         # CogView LayerNorm-prescale (reference transformer.py:177-178):
@@ -462,7 +465,14 @@ class MakeAScene(nn.Module):
             cfg.image_tokens_per_dim, cfg.hidden_dim, embedding_init=_INIT,
             dtype=_dt(cfg), name="image_col_embeddings")
         layer_cls = TransformerLayer
-        if cfg.remat:
+        if cfg.remat and cfg.remat_policy == "mlp":
+            # selective remat: recompute only the MLP (its 4x-hidden gelu
+            # activation is the single biggest saved tensor — 184 MB/layer
+            # at the flagship 1408-token batch-16 geometry) and keep every
+            # attention residual (benchmarks/train_profile.py measures the
+            # policies; numbers in BASELINE.md)
+            pass        # handled inside TransformerLayer.setup
+        elif cfg.remat:
             # recompute each layer in the backward pass (reference has no
             # analog; TPU memory lever for the 1408-token geometry)
             # flax counts self as argnum 0: (3, 4) = return_kv,
@@ -542,9 +552,12 @@ class MakeAScene(nn.Module):
         else:
             mask = None     # fused kernel derives the mask from indices
         h = self.backbone(emb, mask, prefix_length=cfg.effective_prefix)
-        logits = self.to_logits(h)
-        # predictions for image positions: shift by one (transformer.py:378)
-        return logits[:, -cfg.image_length - 1:-1, :]
+        # predictions for image positions: shift by one (transformer.py:378).
+        # Slice BEFORE the vocab projection: to_logits is position-wise, so
+        # projecting the prefix positions just to discard them would waste
+        # ~27% of the largest matmul (T x 1024 x 8192) fwd+bwd and ~200 MB
+        # of fp32 logits at the flagship geometry.
+        return self.to_logits(h[:, -cfg.image_length - 1:-1, :])
 
     # --- cached decode (used by sampler) ------------------------------------
 

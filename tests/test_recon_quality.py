@@ -16,8 +16,15 @@ import benchmarks.recon_quality as rq
 from mas_tpu.utils.config import (CodebookConfig, TransformerConfig,
                                   vq_img_config, vq_seg_config)
 
+# the three tiny stages are compile-dominated (~12 min on the 8-fake-device
+# CPU mesh) — opt-in so the default suite stays fast; run before touching
+# benchmarks/recon_quality.py with MAS_SLOW_TESTS=1
+pytestmark = pytest.mark.skipif(not os.environ.get("MAS_SLOW_TESTS"),
+                                reason="slow 3-stage smoke; set "
+                                       "MAS_SLOW_TESTS=1")
 
-TINY_CB = CodebookConfig(codebook_size=16, init_steps=2,
+
+TINY_CB = CodebookConfig(codebook_size=16, codebook_dim=16, init_steps=2,
                          reservoir_size=512, samples_per_image=4,
                          kmeans_iters=2)
 
