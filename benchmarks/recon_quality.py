@@ -66,8 +66,20 @@ def record(stage: str, metrics: dict) -> None:
     print(f"[{stage}] {json.dumps(data[stage])}", flush=True)
 
 
+TRAIN_CACHE = 512   # pre-generated scene pool for the training streams
+
+
+def train_scenes(seed=0):
+    """Cached + prefetched scene stream (fresh generation starves the
+    chip: 8.4 s/batch at 256² vs 160 ms steps)."""
+    from mas_tpu.data.prefetch import prefetch
+    return prefetch(StructuredSceneBatches(BATCH, RES, seed=seed,
+                                           cache_scenes=TRAIN_CACHE),
+                    size=4)
+
+
 def seg_batches(seed=0):
-    for b in StructuredSceneBatches(BATCH, RES, seed=seed):
+    for b in train_scenes(seed=seed):
         yield {"mask": b["mask"]}
 
 
@@ -156,7 +168,7 @@ def stage_img(steps: int = 3000, disc_start: int = 2000):
     t0 = time.time()
     state = run_pretrain_image(
         train_cfg("img", steps, mode="pretrain_image"), mcfg,
-        iter(StructuredSceneBatches(BATCH, RES, seed=0)), loss_cfg=lcfg)
+        iter(train_scenes(seed=0)), loss_cfg=lcfg)
     train_s = time.time() - t0
 
     model = VQModel(mcfg)
@@ -276,7 +288,8 @@ def stage_ar(steps: int = 4000):
         img_vars, toks, method=VQModel.decode_code))
 
     def token_batches():
-        for batch in StructuredSceneBatches(AR_BATCH, RES, seed=1):
+        for batch in StructuredSceneBatches(AR_BATCH, RES, seed=1,
+                                            cache_scenes=TRAIN_CACHE):
             seg_t = np.asarray(seg_enc(jnp.asarray(batch["mask"])))
             img_t = np.asarray(img_enc(jnp.asarray(batch["image"])))
             b = seg_t.shape[0]

@@ -54,13 +54,55 @@ def assemble_seg_map(seg_panoptic: np.ndarray, edge_panoptic: np.ndarray,
     seg_human:    int in [-1, 20),  -1 = unlabeled
     seg_face:     int in [0, 6),     0 = background
     edge_*:       binary {0, 1} maps
+
+    Implementation: one zero-init [H*W, 159] buffer + three flat scatter
+    assignments (one per label group) instead of eye-gather + concatenate —
+    writes 3 floats/pixel instead of materializing four dense one-hot
+    tensors (~13x faster at 256²; this feeds the streaming input pipeline,
+    where it was the bottleneck).
     """
-    pan = _one_hot_np(seg_panoptic + 1, NUM_PANOPTIC)
-    hum = _one_hot_np(seg_human + 1, NUM_HUMAN)
-    face = _one_hot_np(seg_face, NUM_FACE)
-    edges = (edge_panoptic.astype(np.float32)
-             + edge_human.astype(np.float32))[..., None]
-    return np.concatenate([pan, hum, face, edges], axis=-1)
+    h, w = np.asarray(seg_panoptic).shape
+    out = np.zeros((h, w, NUM_SEG_CHANNELS), np.float32)
+    assemble_seg_map_into(out, seg_panoptic, edge_panoptic, seg_human,
+                          edge_human, seg_face, zero=False)
+    return out
+
+
+def assemble_seg_map_into(out: np.ndarray, seg_panoptic, edge_panoptic,
+                          seg_human, edge_human, seg_face,
+                          zero: bool = True, prev=None):
+    """In-place twin of ``assemble_seg_map`` writing into ``out``
+    [H, W, 159].  Reusing a warm buffer matters on this host: a fresh
+    41 MB allocation page-faults at ~120 MB/s first touch vs 7.5 GB/s
+    warm (measured) — the input pipeline cycles a buffer pool instead of
+    allocating per batch.
+
+    Returns the (pixel, channel) scatter indices written; pass them back
+    as ``prev`` on the next reuse of the same buffer to clear only those
+    positions (~10 ms) instead of zeroing all 159 channels (~50 ms).
+    The edge channel is fully rewritten every call and needs no clear.
+    """
+    h, w = np.asarray(seg_panoptic).shape
+    flat = out.reshape(h * w, NUM_SEG_CHANNELS)
+    if prev is not None:
+        flat[prev[0], prev[1]] = 0.0
+    elif zero:
+        flat.fill(0.0)
+    ar = np.arange(h * w)
+
+    pan = np.asarray(seg_panoptic).reshape(-1).astype(np.int64)
+    mp = pan >= 0
+    hum = np.asarray(seg_human).reshape(-1).astype(np.int64)
+    mh = hum >= 0
+    face = np.asarray(seg_face).reshape(-1).astype(np.int64)
+    mf = face > 0
+    rows = np.concatenate([ar[mp], ar[mh], ar[mf]])
+    chans = np.concatenate([pan[mp], NUM_PANOPTIC + hum[mh],
+                            NUM_PANOPTIC + NUM_HUMAN + face[mf] - 1])
+    flat[rows, chans] = 1.0
+    flat[:, EDGE_CHANNEL] = (np.asarray(edge_panoptic).astype(np.float32)
+                             + np.asarray(edge_human)).reshape(-1)
+    return rows, chans
 
 
 def one_hot_seg(seg_panoptic, edge_panoptic, seg_human, edge_human, seg_face):

@@ -310,3 +310,45 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(ValueError):
         next(it)
+
+
+def test_assemble_into_prev_clear_matches_fresh():
+    """Buffer reuse with incremental clearing must equal fresh assembly."""
+    import numpy as np
+
+    from mas_tpu.data.segmap import (assemble_seg_map,
+                                     assemble_seg_map_into)
+
+    rng = np.random.default_rng(7)
+
+    def labels():
+        return (rng.integers(-1, 133, (32, 32)),
+                rng.integers(0, 2, (32, 32)),
+                rng.integers(-1, 20, (32, 32)),
+                rng.integers(0, 2, (32, 32)),
+                rng.integers(0, 6, (32, 32)))
+
+    buf = np.zeros((32, 32, 159), np.float32)
+    prev = None
+    for _ in range(4):
+        lab = labels()
+        prev = assemble_seg_map_into(buf, *lab, prev=prev)
+        np.testing.assert_array_equal(buf, assemble_seg_map(*lab))
+
+
+def test_structured_cached_batches_cycle_and_align():
+    import numpy as np
+
+    from mas_tpu.data.dataset import StructuredSceneBatches
+
+    it = iter(StructuredSceneBatches(4, 64, seed=3, cache_scenes=8))
+    seen = []
+    for _ in range(12):        # cycles the 8-scene pool + reuses buffers
+        b = next(it)
+        assert b["mask"].shape == (4, 64, 64, 159)
+        assert b["image"].dtype == np.float32
+        # one-hot invariants survive buffer reuse
+        assert b["mask"][..., :133].sum(-1).max() <= 1.0
+        assert b["mask"][..., 153:158].sum(-1).max() <= 1.0
+        seen.append(b["image"].sum())
+    assert len(set(np.round(seen, 3))) > 1   # batches vary
