@@ -173,7 +173,7 @@ def main():
                            args.cache_segment, args.ring)
 
     from benchmarks.torch_baseline import get_baseline
-    base = get_baseline()
+    base = get_baseline(resolution=args.resolution)
     ratio = best / base["images_per_sec"]
 
     print(json.dumps({

@@ -69,18 +69,21 @@ def record(stage: str, metrics: dict) -> None:
 TRAIN_CACHE = 512   # pre-generated scene pool for the training streams
 
 
-def train_scenes(seed=0):
+def train_scenes(seed=0, compact=False, batch=None):
     """Cached + prefetched scene stream (fresh generation starves the
-    chip: 8.4 s/batch at 256² vs 160 ms steps)."""
+    chip: 8.4 s/batch at 256² vs 160 ms steps; compact=True additionally
+    ships packed int16 labels instead of the 41 MB/sample one-hot —
+    host->device transfer through the tunnel starved the chip too)."""
     from mas_tpu.data.prefetch import prefetch
-    return prefetch(StructuredSceneBatches(BATCH, RES, seed=seed,
-                                           cache_scenes=TRAIN_CACHE),
+    return prefetch(StructuredSceneBatches(batch or BATCH, RES, seed=seed,
+                                           cache_scenes=TRAIN_CACHE,
+                                           compact=compact),
                     size=4)
 
 
 def seg_batches(seed=0):
-    for b in train_scenes(seed=seed):
-        yield {"mask": b["mask"]}
+    for b in train_scenes(seed=seed, compact=True):
+        yield {"seg_packed": b["seg_packed"]}
 
 
 def train_cfg(name: str, steps: int, **kw) -> TrainConfig:
@@ -119,12 +122,15 @@ def stage_seg(steps: int = 3000):
 
     model = VQModel(mcfg)
 
+    from mas_tpu.data.segmap import one_hot_seg_packed
+
     @jax.jit
-    def eval_step(params, stats, seg):
+    def eval_step(params, stats, packed):
+        seg = one_hot_seg_packed(packed)
         recon, _ = model.apply({"params": params, "batch_stats": stats}, seg)
         toks = model.apply({"params": params, "batch_stats": stats}, seg,
                            method=VQModel.encode_tokens)
-        return recon, toks
+        return seg, recon, toks
 
     # held-out scenes (fresh seed)
     accs, bces, all_toks = [], [], []
@@ -132,8 +138,8 @@ def stage_seg(steps: int = 3000):
     for i, batch in enumerate(seg_batches(seed=999)):
         if i >= 8:
             break
-        seg = jnp.asarray(batch["mask"])
-        recon, toks = eval_step(state.params, state.batch_stats, seg)
+        seg, recon, toks = eval_step(state.params, state.batch_stats,
+                                     jnp.asarray(batch["seg_packed"]))
         all_toks.append(np.asarray(toks))
         # per-pixel argmax accuracy over the panoptic + human groups
         for sl in (slice(0, 133), slice(133, 153)):
@@ -166,9 +172,14 @@ def stage_img(steps: int = 3000, disc_start: int = 2000):
     mcfg = img_model_cfg()
     lcfg = VQGANLossConfig(disc_start=disc_start)
     t0 = time.time()
+    def img_batches():
+        # strip the seg labels: the VQGAN step consumes image + boxes only
+        for b in train_scenes(seed=0, compact=True):
+            yield {k: b[k] for k in ("image", "bbox_obj", "bbox_face")}
+
     state = run_pretrain_image(
         train_cfg("img", steps, mode="pretrain_image"), mcfg,
-        iter(train_scenes(seed=0)), loss_cfg=lcfg)
+        img_batches(), loss_cfg=lcfg)
     train_s = time.time() - t0
 
     model = VQModel(mcfg)
@@ -188,7 +199,8 @@ def stage_img(steps: int = 3000, disc_start: int = 2000):
     feat = lpips_feature_fn(lpips, lpips_vars)
     fid_real, fid_rec = FIDAccumulator(feat), FIDAccumulator(feat)
     agg, all_toks = {}, []
-    for i, batch in enumerate(StructuredSceneBatches(BATCH, RES, seed=999)):
+    for i, batch in enumerate(StructuredSceneBatches(BATCH, RES, seed=999,
+                                                     compact=True)):
         if i >= 16:
             break
         images = jnp.asarray(batch["image"])
@@ -278,10 +290,14 @@ def stage_ar(steps: int = 4000):
     from mas_tpu.utils.logging import make_grid, save_image
 
     tcfg = ar_cfg()
+    from mas_tpu.data.segmap import one_hot_seg_packed
+
     seg_model, seg_vars = restore_vq("seg", seg_model_cfg())
     img_model, img_vars = restore_vq("img", img_model_cfg(), with_disc=True)
-    seg_enc = jax.jit(lambda x: seg_model.apply(
-        seg_vars, x, method=VQModel.encode_tokens))
+    # packed labels -> on-device one-hot -> tokens (ships 0.5 MB/sample,
+    # not the 41 MB one-hot)
+    seg_enc = jax.jit(lambda p: seg_model.apply(
+        seg_vars, one_hot_seg_packed(p), method=VQModel.encode_tokens))
     img_enc = jax.jit(lambda x: img_model.apply(
         img_vars, x, method=VQModel.encode_tokens))
     img_dec = jax.jit(lambda toks: img_model.apply(
@@ -289,8 +305,9 @@ def stage_ar(steps: int = 4000):
 
     def token_batches():
         for batch in StructuredSceneBatches(AR_BATCH, RES, seed=1,
-                                            cache_scenes=TRAIN_CACHE):
-            seg_t = np.asarray(seg_enc(jnp.asarray(batch["mask"])))
+                                            cache_scenes=TRAIN_CACHE,
+                                            compact=True):
+            seg_t = np.asarray(seg_enc(jnp.asarray(batch["seg_packed"])))
             img_t = np.asarray(img_enc(jnp.asarray(batch["image"])))
             b = seg_t.shape[0]
             yield {"text": scene_text_tokens(batch),
@@ -306,9 +323,10 @@ def stage_ar(steps: int = 4000):
     variables = {"params": state.params}
 
     # held-out conditioning
-    held = next(iter(StructuredSceneBatches(AR_BATCH, RES, seed=2026)))
+    held = next(iter(StructuredSceneBatches(AR_BATCH, RES, seed=2026,
+                                            compact=True)))
     text = jnp.asarray(scene_text_tokens(held))
-    seg_t = seg_enc(jnp.asarray(held["mask"])).reshape(AR_BATCH, -1)
+    seg_t = seg_enc(jnp.asarray(held["seg_packed"])).reshape(AR_BATCH, -1)
 
     samples = {}
     for kv in ("compute", "int8", "int4"):
@@ -342,7 +360,7 @@ def stage_ar(steps: int = 4000):
     # distributional check: FID(samples, real scenes) per cache dtype
     fid_real = FIDAccumulator(feat)
     for i, batch in enumerate(StructuredSceneBatches(AR_BATCH, RES,
-                                                     seed=31)):
+                                                     seed=31, compact=True)):
         if i >= 4:
             break
         fid_real.update(jnp.asarray(batch["image"]))

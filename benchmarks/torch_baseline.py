@@ -168,15 +168,24 @@ def measure(layers=24, d=1024, heads=16, vocab=8192, prefix=384,
                 device="cpu", torch_version=torch.__version__)
 
 
-def get_baseline(force=False):
-    if not force and os.path.exists(CACHE):
-        with open(CACHE) as f:
+def get_baseline(force=False, resolution: int = 256):
+    """Per-geometry cached baseline: 256² (256 image tokens) or the 512²
+    paper geometry (1024 image tokens, 32² latent) — bench.py's
+    ``vs_baseline`` must compare like with like."""
+    cache = (CACHE if resolution == 256
+             else CACHE.replace(".json", f"_{resolution}.json"))
+    if not force and os.path.exists(cache):
+        with open(cache) as f:
             return json.load(f)
-    result = measure()
-    with open(CACHE, "w") as f:
+    kw = {} if resolution == 256 else dict(image_tokens=1024, latent=32)
+    result = measure(**kw)
+    result["resolution"] = resolution
+    with open(cache, "w") as f:
         json.dump(result, f, indent=1)
     return result
 
 
 if __name__ == "__main__":
-    print(json.dumps(get_baseline(force=True), indent=1))
+    import sys
+    res = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    print(json.dumps(get_baseline(force=True, resolution=res), indent=1))

@@ -440,7 +440,11 @@ class StructuredSceneBatches:
 
     def __init__(self, batch_size: int, resolution: int = 256, seed: int = 0,
                  max_boxes: int = 6, cache_scenes: int = 0,
-                 workers: int = 4):
+                 workers: int = 4, compact: bool = False):
+        # compact=True: yield "seg_packed" int16 [B, r, r, 4] label maps
+        # (segmap.pack_seg_labels) instead of the dense "mask" one-hot —
+        # 80x less host->device traffic; the seg train step expands
+        # in-graph (one_hot_seg_packed)
         self.batch_size = batch_size
         self.resolution = resolution
         self.max_boxes = max_boxes
@@ -453,6 +457,7 @@ class StructuredSceneBatches:
         # (measured 8.4 s/batch fresh at 256² vs a 160 ms train step).
         self.cache_scenes = cache_scenes
         self.workers = workers
+        self.compact = compact
 
     def _ellipse(self, xx, yy, cx, cy, a, b):
         return ((xx - cx) / a) ** 2 + ((yy - cy) / b) ** 2 <= 1.0
@@ -524,17 +529,27 @@ class StructuredSceneBatches:
                 boxes, face_boxes)
 
     def _pack(self, scene):
-        """geometry -> batch-row tuple (img, mask, box_obj, box_face)."""
+        """geometry -> batch-row tuple (img, mask-or-packed, boxes)."""
+        from .segmap import pack_seg_labels
+
         img, pan, hum, face, edge, boxes, face_boxes = scene
-        mask = assemble_seg_map(pan, edge, hum, np.zeros_like(edge), face)
+        if self.compact:
+            mask = pack_seg_labels(pan, edge, hum, face)
+        else:
+            mask = assemble_seg_map(pan, edge, hum, np.zeros_like(edge),
+                                    face)
         m, r = self.max_boxes, self.resolution
         return (np.asarray(img, np.float32), mask,
                 pad_boxes(sanitize_bboxes(boxes, frame=r), m),
                 pad_boxes(sanitize_bboxes(face_boxes, frame=r), m))
 
+    @property
+    def _mask_key(self):
+        return "seg_packed" if self.compact else "mask"
+
     def _batch(self, rows):
         imgs, masks, bo, bf = zip(*rows)
-        return {"image": np.stack(imgs), "mask": np.stack(masks),
+        return {"image": np.stack(imgs), self._mask_key: np.stack(masks),
                 "bbox_obj": np.stack(bo), "bbox_face": np.stack(bf)}
 
     def __iter__(self):
@@ -559,8 +574,11 @@ class StructuredSceneBatches:
         # 50x faster); the pool is deeper than any downstream prefetch so
         # a buffer is never overwritten while still in flight
         b, r, m = self.batch_size, self.resolution, self.max_boxes
+        mask_shape = ((b, r, r, 4) if self.compact
+                      else (b, r, r, NUM_SEG_CHANNELS))
+        mask_dtype = np.int16 if self.compact else np.float32
         pool = [{"image": np.zeros((b, r, r, 3), np.float32),
-                 "mask": np.zeros((b, r, r, NUM_SEG_CHANNELS), np.float32),
+                 self._mask_key: np.zeros(mask_shape, mask_dtype),
                  "bbox_obj": np.zeros((b, m, 4), np.float32),
                  "bbox_face": np.zeros((b, m, 4), np.float32)}
                 for _ in range(8)]
@@ -576,9 +594,16 @@ class StructuredSceneBatches:
                     img, pan, hum, face, edge, bx, fbx = scenes[i]
                     np.multiply(img, np.float32(1.0 / 255.0),
                                 out=buf["image"][row])
-                    prev[row] = assemble_seg_map_into(
-                        buf["mask"][row], pan, edge, hum,
-                        np.zeros_like(edge), face, prev=prev[row])
+                    if self.compact:
+                        pk = buf["seg_packed"][row]
+                        pk[..., 0] = pan
+                        pk[..., 1] = hum
+                        pk[..., 2] = face
+                        pk[..., 3] = edge
+                    else:
+                        prev[row] = assemble_seg_map_into(
+                            buf["mask"][row], pan, edge, hum,
+                            np.zeros_like(edge), face, prev=prev[row])
                     buf["bbox_obj"][row] = pad_boxes(
                         sanitize_bboxes(bx, frame=r), m)
                     buf["bbox_face"][row] = pad_boxes(

@@ -166,3 +166,28 @@ def pad_boxes(boxes: Sequence[BoxLike], max_boxes: int) -> np.ndarray:
     for i, box in enumerate(boxes[:max_boxes]):
         arr[i] = np.asarray(box[:4], np.float32)
     return arr
+
+
+def pack_seg_labels(seg_panoptic, edge, seg_human, seg_face) -> np.ndarray:
+    """Per-pixel label maps -> compact packed int16 [H, W, 4].
+
+    Channel order: (panoptic, human, face, edge); ``edge`` is the already-
+    summed panoptic+human edge map (values may reach 2, preserved).  41 MB
+    of one-hot float per 256² sample compresses to 0.5 MB — host->device
+    transfer of the dense one-hot dominated seg training through the
+    tunnel; ``one_hot_seg_packed`` expands on device instead (the
+    SURVEY/BASELINE north star names jit-able seg assembly).
+    """
+    return np.stack([np.asarray(seg_panoptic), np.asarray(seg_human),
+                     np.asarray(seg_face), np.asarray(edge)],
+                    axis=-1).astype(np.int16)
+
+
+def one_hot_seg_packed(packed):
+    """jnp: packed int16 [..., H, W, 4] -> [..., H, W, 159] float32
+    (device-side twin of ``assemble_seg_map`` over ``pack_seg_labels``)."""
+    import jax.numpy as jnp
+
+    p = jnp.asarray(packed).astype(jnp.int32)
+    zero = jnp.zeros_like(p[..., 3])
+    return one_hot_seg(p[..., 0], p[..., 3], p[..., 1], zero, p[..., 2])

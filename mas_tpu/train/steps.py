@@ -34,10 +34,17 @@ def _writeback_embedding(params, emb, triggered):
 def make_seg_train_step(model: VQModel, tx,
                         loss_cfg: SegLossConfig = SegLossConfig(),
                         vq_impl: str = "auto",
-                        donate: bool = True) -> Callable:
+                        donate: bool = True,
+                        from_packed_labels: bool = False) -> Callable:
     """Returns jitted ``step(state, seg_batch, rng) -> (state, metrics)``.
 
-    ``seg_batch``: [B, H, W, 159] float targets (NHWC).
+    ``seg_batch``: [B, H, W, 159] float targets (NHWC) — or, with
+    ``from_packed_labels``, compact int16 [B, H, W, 4] label maps
+    (``segmap.pack_seg_labels``) expanded to the one-hot IN-GRAPH
+    (``one_hot_seg_packed``): the host then ships 0.5 MB/sample instead
+    of 41 MB, which is the difference between a starved and a saturated
+    chip on tunnel/thin-PCIe hosts (and the north-star "jit-able seg
+    assembly").
     ``donate``: donate the state buffers (params, optimizer state, the
     up-to-200MB codebook reservoir) so XLA updates them in place; the
     passed-in state is CONSUMED — rebind it.  Disable for interactive
@@ -47,6 +54,9 @@ def make_seg_train_step(model: VQModel, tx,
     use_dropout = model.cfg.dropout > 0.0
 
     def loss_fn(params, batch_stats, vq_state, seg, rng):
+        if from_packed_labels:
+            from ..data.segmap import one_hot_seg_packed
+            seg = one_hot_seg_packed(seg)
         rng, k_enc, k_dec = jax.random.split(rng, 3)
         enc_rngs = {"rngs": {"dropout": k_enc}} if use_dropout else {}
         dec_rngs = {"rngs": {"dropout": k_dec}} if use_dropout else {}

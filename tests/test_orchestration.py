@@ -306,3 +306,22 @@ def test_cli_sample_with_captions(tmp_path):
     path.write_text(json.dumps(cfg))
     assert main(["--config", str(path)]) == 0
     assert os.path.exists(tmp_path / "out.jpg")
+
+
+def test_run_pretrain_segmentation_packed_labels(tmp_path):
+    """Packed int16 label batches expand to the one-hot in-graph and train
+    to the same machinery (the 80x-less-transfer input path)."""
+    import numpy as np
+
+    from mas_tpu.data.dataset import StructuredSceneBatches
+    from mas_tpu.train.loop import run_pretrain_segmentation
+    from mas_tpu.utils.logging import Logger
+
+    train, model = _tiny_seg_cfg(tmp_path)
+    src = iter(StructuredSceneBatches(2, resolution=32, seed=5,
+                                      cache_scenes=4, compact=True))
+    batches = ({"seg_packed": b["seg_packed"]} for b in src)
+    logger = Logger(str(tmp_path / "logs"), use_tensorboard=False)
+    state = run_pretrain_segmentation(train, model, batches, logger=logger)
+    assert int(state.step) == 3
+    assert np.isfinite(float(state.step))
