@@ -304,15 +304,31 @@ def stage_ar(steps: int = 4000):
         img_vars, toks, method=VQModel.decode_code))
 
     def token_batches():
-        for batch in StructuredSceneBatches(AR_BATCH, RES, seed=1,
-                                            cache_scenes=TRAIN_CACHE,
-                                            compact=True):
-            seg_t = np.asarray(seg_enc(jnp.asarray(batch["seg_packed"])))
-            img_t = np.asarray(img_enc(jnp.asarray(batch["image"])))
-            b = seg_t.shape[0]
-            yield {"text": scene_text_tokens(batch),
-                   "seg": seg_t.reshape(b, -1).astype(np.int32),
-                   "image": img_t.reshape(b, -1).astype(np.int32)}
+        # tokenize the scene cache ONCE, then cycle token batches: the
+        # axon client leaks every host->device staging buffer (measured
+        # 25 MB/transfer, never freed — the first attempt re-uploaded
+        # images+labels every step and was host-OOM-killed at 130 GB).
+        # Per-step uploads drop to ~68 KB of token ids.
+        src = iter(StructuredSceneBatches(AR_BATCH, RES, seed=1,
+                                          cache_scenes=TRAIN_CACHE,
+                                          compact=True))
+        texts, segs, imgs = [], [], []
+        for _ in range(TRAIN_CACHE // AR_BATCH):
+            batch = next(src)
+            texts.append(scene_text_tokens(batch))
+            segs.append(np.asarray(seg_enc(jnp.asarray(
+                batch["seg_packed"]))).reshape(AR_BATCH, -1))
+            imgs.append(np.asarray(img_enc(jnp.asarray(
+                batch["image"]))).reshape(AR_BATCH, -1))
+        texts = np.concatenate(texts)
+        segs = np.concatenate(segs).astype(np.int32)
+        imgs = np.concatenate(imgs).astype(np.int32)
+        rng = np.random.default_rng(17)
+        while True:
+            idx = rng.permutation(len(texts))
+            for s in range(0, len(idx) - AR_BATCH + 1, AR_BATCH):
+                j = idx[s:s + AR_BATCH]
+                yield {"text": texts[j], "seg": segs[j], "image": imgs[j]}
 
     t0 = time.time()
     state = run_train_transformer(
