@@ -32,7 +32,7 @@ def log(*a):
 
 
 def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
-                   kv_cache_dtype: str = "int8", cache_segment: int = 0,
+                   kv_cache_dtype: str = "int4", cache_segment: int = 0,
                    ring: bool = False):
     from mas_tpu.models.sampler import sample_tokens
     from mas_tpu.models.transformer import MakeAScene
@@ -49,7 +49,9 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
         text_vocab_size=16384 + 128,
         image_tokens_per_dim=tokens_per_dim, seg_tokens_per_dim=16,
         text_length=128, compute_dtype="bfloat16",
-        kv_cache_dtype=kv_cache_dtype,   # int8: +45% (see BASELINE.md)
+        kv_cache_dtype=kv_cache_dtype,   # int4 serving default: 30.7 img/s
+                                         # vs 24.6 int8 at 256^2 (BASELINE.md;
+                                         # sample-FID parity measured)
         decode_attention_impl=decode_impl, decode_ring_tail=ring)
     vcfg = VQModelConfig(
         in_channels=3, out_channels=3, resolution=resolution,
@@ -108,7 +110,7 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
 
 
 def run(batches, iters, resolution=256, decode_impl="auto",
-        kv_cache_dtype="int8", cache_segment=0, ring=False):
+        kv_cache_dtype="int4", cache_segment=0, ring=False):
     pipeline, tcfg = build_pipeline(resolution, decode_impl, kv_cache_dtype,
                                     cache_segment, ring)
     best = 0.0
@@ -147,7 +149,7 @@ def main():
     ap.add_argument("--decode-impl", default="auto",
                     choices=("auto", "jnp", "pallas"),
                     help="decode-attention implementation A/B")
-    ap.add_argument("--kv-cache", default="int8",
+    ap.add_argument("--kv-cache", default="int4",
                     choices=("int8", "int4", "compute"),
                     help="KV cache storage dtype")
     ap.add_argument("--cache-segment", type=int, default=0,
@@ -166,8 +168,9 @@ def main():
     iters = 2 if args.quick else 3
 
     if args.resolution == 512 and not args.batch:
-        batches = [32]         # 1408-token caches are 5.5x larger; int8
-                               # fits 32 (fp16@8 was round 1's 0.94 img/s)
+        batches = [64]         # measured argmax: int4@64 5.15 img/s,
+                               # int8@64 3.89, @32 1.45, int4@96 3.77
+                               # (fp16@8 was round 1's 0.94 img/s)
     best, best_batch = run(batches, iters, args.resolution,
                            args.decode_impl, args.kv_cache,
                            args.cache_segment, args.ring)
