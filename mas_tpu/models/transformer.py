@@ -48,17 +48,19 @@ def _dt(cfg: TransformerConfig):
 
 
 def resolve_attention_impl(cfg: TransformerConfig, seq_len: int) -> str:
-    """'auto' attention dispatch, measured on v5e (bf16, 1024-hidden):
+    """'auto' attention dispatch, measured on v5e (bf16, 1024-hidden).
 
-      * seq 640:  XLA's fused attention beats the flash kernel by ~7 %
-        (90.5 vs 97.1 ms/step, 8 layers, batch 8) — use jnp.
-      * seq 1408: parity on speed (123.8 vs 122.1 ms/step, 4 layers,
-        batch 8), but the jnp path materializes ~1 GB of fp32 scores per
-        layer and FAILS TO COMPILE at batch 32 while the flash kernel
-        runs it at 0.11 Mtok/s — use pallas.
+    Round 1 (blk 128x128 flash) had jnp winning short sequences; with the
+    single-pass blocks (``ops.attention.auto_blocks``) the flash kernel
+    wins every measured geometry and jnp stops compiling at scale:
 
-    Hence: pallas on TPU for long (>=1024-token) block-tileable sequences,
-    jnp otherwise.  Explicit cfg.attention_impl overrides.
+      * seq 640, 24 layers, batch 16: jnp FAILS TO COMPILE (fp32 score
+        transients); pallas runs 262.6 ms/step (36.3% MFU).
+      * seq 1408, 24 layers: pallas 853 ms/step vs round-1 1240; jnp
+        fails to compile at batch 32.
+
+    Hence: pallas on TPU whenever the sequence tiles the blocks, jnp as
+    the CPU/odd-length fallback.  Explicit cfg.attention_impl overrides.
     """
     if cfg.rudalle_relax:
         # the sigma division after the midpoint shift rescales the logits —
@@ -71,7 +73,7 @@ def resolve_attention_impl(cfg: TransformerConfig, seq_len: int) -> str:
     divisible = (seq_len % DEFAULT_BLOCK_Q == 0
                  and seq_len % DEFAULT_BLOCK_K == 0)
     return "pallas" if (jax.default_backend() == "tpu" and divisible
-                        and seq_len >= 1024) else "jnp"
+                        ) else "jnp"
 
 
 def _gelu(x):
