@@ -58,8 +58,12 @@ def auto_blocks(t: int) -> tuple:
     whenever the fp32 score tile fits the VMEM budget; the lse output
     layout pins blk_q to 128-divisible values.
     """
-    blk_q = DEFAULT_BLOCK_Q if t % DEFAULT_BLOCK_Q == 0 else t
-    if t % 128 == 0 and blk_q * t * 4 <= _SINGLE_PASS_SCORE_BYTES:
+    if t % 128:
+        # whole-array blocks (block dims equal to array dims are always
+        # legal); resolve_attention_impl routes such lengths to jnp anyway
+        return t, t
+    blk_q = DEFAULT_BLOCK_Q
+    if blk_q * t * 4 <= _SINGLE_PASS_SCORE_BYTES:
         return blk_q, t
     return blk_q, DEFAULT_BLOCK_K
 

@@ -245,3 +245,16 @@ class TestInt8KVCache:
         # same rng + near-identical logits -> overwhelmingly equal samples
         agree = float(np.mean(np.asarray(toks_q) == np.asarray(toks_fp)))
         assert agree > 0.8, agree
+
+
+def test_auto_blocks_rules():
+    from mas_tpu.ops.attention import auto_blocks
+
+    # flagship geometries: single-pass (blk_k = T) regime
+    assert auto_blocks(1408) == (128, 1408)
+    assert auto_blocks(640) == (128, 640)
+    # huge T: score tile would blow the VMEM budget -> block the k axis
+    assert auto_blocks(128 * 128) == (128, 128)
+    # non-128-multiple: whole-array fallback blocks
+    q, k = auto_blocks(96)
+    assert q == 96 and k == 96
