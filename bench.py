@@ -157,6 +157,11 @@ def main():
     ap.add_argument("--ring", action="store_true",
                     help="ring-tail decode (frozen int8 + compute tail)")
     args = ap.parse_args()
+    if args.ring and args.kv_cache != "int8":
+        # the ring branch only engages for int8 caches (sampler.py); with
+        # the int4 default it would silently benchmark the plain path
+        log("--ring requires the int8 cache; forcing --kv-cache int8")
+        args.kv_cache = "int8"
 
     # measured scaling on v5e (bf16): 8->7.1, 16->7.9, 32->9.3, 64->16.8
     # img/s; 80/96 OOM on the CFG KV caches + transients. Decode is batch-starved,

@@ -54,25 +54,24 @@ def main():
 
     # the lse output block (1, 1, blk_q) pins blk_q to 128-divisible values
     for blk_q, blk_k in ((128, 128), (128, 1408), (1408, 128),
-                         (1408, 1408)):
-        if True:
-            try:
-                # positional args: custom_vjp rejects kwargs
-                f = jax.jit(lambda q, k, v, bq=blk_q, bk=blk_k:
-                            flash_attention(q, k, v, PREFIX, bq, bk))
-                fwd_ms = timed(f, q, k, v)
+                     (1408, 1408)):
+        try:
+            # positional args: custom_vjp rejects kwargs
+            f = jax.jit(lambda q, k, v, bq=blk_q, bk=blk_k:
+                        flash_attention(q, k, v, PREFIX, bq, bk))
+            fwd_ms = timed(f, q, k, v)
 
-                def loss(q, k, v, f=f):
-                    return jnp.sum(f(q, k, v).astype(jnp.float32))
+            def loss(q, k, v, f=f):
+                return jnp.sum(f(q, k, v).astype(jnp.float32))
 
-                g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-                full_ms = timed(g, q, k, v)
-                print(f"blk_q={blk_q:4d} blk_k={blk_k:4d}: "
-                      f"fwd {fwd_ms:6.2f} ms ({fwd_tf / fwd_ms * 1e3:5.1f} "
-                      f"TF/s)  fwd+bwd {full_ms:7.2f} ms", flush=True)
-            except Exception as exn:                          # noqa: BLE001
-                print(f"blk_q={blk_q:4d} blk_k={blk_k:4d}: FAILED "
-                      f"{str(exn).splitlines()[0][:100]}", flush=True)
+            g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+            full_ms = timed(g, q, k, v)
+            print(f"blk_q={blk_q:4d} blk_k={blk_k:4d}: "
+                  f"fwd {fwd_ms:6.2f} ms ({fwd_tf / fwd_ms * 1e3:5.1f} "
+                  f"TF/s)  fwd+bwd {full_ms:7.2f} ms", flush=True)
+        except Exception as exn:                          # noqa: BLE001
+            print(f"blk_q={blk_q:4d} blk_k={blk_k:4d}: FAILED "
+                  f"{str(exn).splitlines()[0][:100]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -118,13 +118,21 @@ class PreprocessedWebDataset:
             "caption": raw.get("txt", b"").decode("utf-8", "replace"),
         }
         if self.need_seg:
-            # Resize + center-crop the mask jointly with the image (the
-            # reference applies SmallestMaxSize+CenterCrop to both,
-            # dataset_preprocessor_web.py:36-38); nearest keeps labels crisp.
-            mask = assemble_seg_map(
-                npz["seg_panoptic"], npz["edge_panoptic"],
-                npz["seg_human"], npz["edge_human"], npz["seg_face"])
-            sample["mask"] = center_crop(_resize_mask_nearest(mask, res), res)
+            # Resize + center-crop jointly with the image (the reference
+            # applies SmallestMaxSize+CenterCrop to both,
+            # dataset_preprocessor_web.py:36-38).  Operate on the COMPACT
+            # label maps, then assemble at target resolution: nearest
+            # resize commutes exactly with per-pixel one-hot, and this
+            # avoids materializing an [H0, W0, 159] float tensor per
+            # sample (667 MB for a 1024² source, x workers threads).
+            def prep(lab):
+                return center_crop(
+                    _resize_mask_nearest(np.asarray(lab), res), res)
+
+            sample["mask"] = assemble_seg_map(
+                prep(npz["seg_panoptic"]), prep(npz["edge_panoptic"]),
+                prep(npz["seg_human"]), prep(npz["edge_human"]),
+                prep(npz["seg_face"]))
         box_things = _shift_boxes(
             [list(map(float, b)) for b in npz["box_things"]], dx, dy, scale)
         box_face = _shift_boxes(
@@ -455,6 +463,11 @@ class StructuredSceneBatches:
         # batch (optionally across ``workers`` threads).  Long training
         # demos would otherwise starve the chip on host-side generation
         # (measured 8.4 s/batch fresh at 256² vs a 160 ms train step).
+        if 0 < cache_scenes < batch_size:
+            raise ValueError(
+                f"cache_scenes ({cache_scenes}) must be >= batch_size "
+                f"({batch_size}): one batch draws that many distinct "
+                f"pool scenes")
         self.cache_scenes = cache_scenes
         self.workers = workers
         self.compact = compact

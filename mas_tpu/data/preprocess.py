@@ -207,6 +207,30 @@ def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
     n_kinds = len(annotators)
     finished_workers = 0
     repack_procs: List[mp.Process] = []
+    def handle(msg: str) -> None:
+        nonlocal finished_workers, repack_procs
+        kind, worker, event, tar = msg.split("/", 3)
+        if event == "exit":
+            finished_workers += 1
+            return
+        if event != "done":
+            state[tar] = f"{kind}:{event}"
+            return
+        done_counts[tar] = done_counts.get(tar, 0) + 1
+        if done_counts[tar] == n_kinds:
+            out_tar = os.path.join(out_dir, os.path.basename(tar))
+            repack_procs = [p for p in repack_procs if p.is_alive()]
+            while len(repack_procs) >= max_repack:
+                time.sleep(0.05)
+                repack_procs = [p for p in repack_procs if p.is_alive()]
+            p = mp.Process(target=repack_single_tar,
+                           args=(tar, scratch, out_tar,
+                                 tuple(annotators)))
+            p.start()
+            repack_procs.append(p)
+            outputs.append(out_tar)
+            _write_state(out_dir, done_counts, state)
+
     while finished_workers < n_kinds:
         try:
             msg = ready.get(timeout=5.0)
@@ -222,29 +246,17 @@ def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
                     f"annotator worker(s) died: "
                     f"{[p.exitcode for p in dead]}") from None
             if all(not p.is_alive() for p in procs):
-                break                     # all exited cleanly, queue drained
+                # all exited cleanly — but final done/exit messages may
+                # still be in flight through the queue feeder threads:
+                # drain before breaking or the last shard never repacks
+                while True:
+                    try:
+                        handle(ready.get(timeout=0.5))
+                    except Exception:                  # queue.Empty
+                        break
+                break
             continue
-        kind, worker, event, tar = msg.split("/", 3)
-        if event == "exit":
-            finished_workers += 1
-            continue
-        if event != "done":
-            state[tar] = f"{kind}:{event}"
-            continue
-        done_counts[tar] = done_counts.get(tar, 0) + 1
-        if done_counts[tar] == n_kinds:
-            out_tar = os.path.join(out_dir, os.path.basename(tar))
-            repack_procs = [p for p in repack_procs if p.is_alive()]
-            while len(repack_procs) >= max_repack:
-                time.sleep(0.05)
-                repack_procs = [p for p in repack_procs if p.is_alive()]
-            p = mp.Process(target=repack_single_tar,
-                           args=(tar, scratch, out_tar,
-                                 tuple(annotators)))
-            p.start()
-            repack_procs.append(p)
-            outputs.append(out_tar)
-            _write_state(out_dir, done_counts, state)
+        handle(msg)
     for p in procs + repack_procs:
         p.join()
     return outputs

@@ -178,12 +178,10 @@ class SelfAttention(nn.Module):
                 "pallas", "pallas_interpret"):
             decode_impl = cfg.attention_impl
         if isinstance(k_cache, QuantCache):
-            import os as _os
-            if not _os.environ.get("MAS_SKIP_KV_WRITE"):   # timing ablation
-                k_cache = update_quant_cache(
-                    k_cache, k_new.transpose(0, 1, 3, 2), index)
-                v_cache = update_quant_cache(
-                    v_cache, v_new.transpose(0, 1, 3, 2), index)
+            k_cache = update_quant_cache(
+                k_cache, k_new.transpose(0, 1, 3, 2), index)
+            v_cache = update_quant_cache(
+                v_cache, v_new.transpose(0, 1, 3, 2), index)
             impl = (decode_impl if decode_impl in
                     ("pallas", "pallas_interpret") else "jnp")
             ctx = decode_attention_int8(q, k_cache, v_cache, index,

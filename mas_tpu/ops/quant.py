@@ -96,9 +96,11 @@ def decode_attention_int8(q, k_cache: QuantCache, v_cache: QuantCache,
     folds both scales and the softmax into one pass.
     """
     if (impl in ("pallas", "pallas_interpret")
+            and k_cache.q.dtype == jnp.int8
             and k_cache.q.shape[3] % _INT8_DECODE_BLOCK == 0):
-        # cache lengths that don't tile the 128-lane DMA block (tiny test
-        # geometries) fall through to the jnp path
+        # jnp fallback for cache lengths that don't tile the 128-lane DMA
+        # block (tiny test geometries) AND for int4 caches — the fused
+        # kernel's VMEM scratch/DMA path is int8-only
         return _decode_attention_int8_pallas(
             q, k_cache.q, k_cache.scale, v_cache.q, v_cache.scale, index,
             interpret=(impl == "pallas_interpret"))

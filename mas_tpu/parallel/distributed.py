@@ -27,13 +27,21 @@ def initialize(coordinator_address: Optional[str] = None,
     No-ops on single-process runs (the common local/dev case) so entry
     points can call it unconditionally.
     """
-    already = jax.process_count() > 1
-    if not already and (coordinator_address is not None
-                        or _looks_like_multiprocess()):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
+    # Decide from the ENVIRONMENT before touching any jax API that would
+    # initialize the local backend (jax.process_count() does!) — once the
+    # backend exists, jax.distributed.initialize is a stale
+    # single-process view.  Idempotence is exception-based: a repeat call
+    # raises 'already initialized', which we treat as success.
+    want = coordinator_address is not None or _looks_like_multiprocess()
+    if want:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id)
+        except RuntimeError as exn:
+            if "already" not in str(exn).lower():
+                raise
     return dict(
         process_index=jax.process_index(),
         process_count=jax.process_count(),

@@ -274,6 +274,11 @@ class TransformerConfig(_Base):
                 "rudalle_relax requires a floating-point KV cache (its "
                 "masked sigma/max statistics are not defined over the "
                 "quantized cache)")
+        if self.rudalle_relax and self.attention_impl not in ("auto", "jnp"):
+            raise ConfigError(
+                "rudalle_relax is incompatible with the flash kernel: its "
+                "sigma/midpoint shift is not a softmax-invariant "
+                "transformation, so attention_impl must be 'auto' or 'jnp'")
 
     @property
     def head_dim(self) -> int:
