@@ -136,7 +136,9 @@ def main(argv=None) -> int:
     # dist.init_process_group ahead of training, train.py:20-34); no-ops on
     # single-process runs, so call it unconditionally.
     from .parallel.distributed import initialize
+    from .utils.compile_cache import enable_compilation_cache
 
+    enable_compilation_cache()
     topo = initialize()
     if topo["process_index"] == 0 and topo["process_count"] > 1:
         print(f"multi-host topology: {topo}")

@@ -16,7 +16,11 @@ This module ports that geometry dependency-free (numpy only):
     not connected),
   * ``edges_from_instances`` lives in ``segmap`` (flood-fill-equivalent
     boundary semantics, tested against the cv2 oracle in
-    ``tests/test_annotate.py``).
+    ``tests/test_annotate.py``),
+  * the human-parts transform chain (``human_parts_preprocessor.py:78-101``):
+    bilinear resize to the LIP 473x473 input, /255 + BGR-order normalize,
+    then logits -> bilinear upsample (align_corners=True) -> resize back ->
+    argmax, via ``prepare_human_input`` / ``human_logits_to_mask``.
 """
 
 from __future__ import annotations
@@ -34,6 +38,69 @@ FACE_CLASS_RANGES: Dict[int, Tuple[int, int]] = {
     EYE: (36, 48),
     MOUTH: (48, 68),
 }
+
+
+# LIP human-parsing geometry (human_parts_preprocessor.py:34-40,51-61):
+# 20 classes, 473x473 net input; normalization is applied to cv2-loaded
+# (BGR) images, hence the reversed ImageNet mean/std order.
+HUMAN_PARTS_CLASSES = 20
+HUMAN_PARTS_INPUT_SIZE = (473, 473)
+HUMAN_PARTS_MEAN = np.array([0.406, 0.456, 0.485], np.float32)
+HUMAN_PARTS_STD = np.array([0.225, 0.224, 0.229], np.float32)
+
+
+def _bilinear_1d_weights(n_in: int, n_out: int, align_corners: bool):
+    """Source indices + lerp weights for 1-D bilinear resampling with
+    torch ``F.interpolate(mode="bilinear")`` semantics (point-sampled, NO
+    antialias — unlike ``jax.image.resize``, which low-pass filters when
+    minifying; the reference resizes tensors through torchvision, which at
+    this snapshot defaults to antialias=False)."""
+    out = np.arange(n_out, dtype=np.float64)
+    if align_corners:
+        src = out * ((n_in - 1) / (n_out - 1)) if n_out > 1 else out * 0.0
+    else:
+        src = np.clip((out + 0.5) * (n_in / n_out) - 0.5, 0.0, None)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+    hi = np.clip(lo + 1, 0, n_in - 1)
+    w_hi = (src - lo).astype(np.float32)
+    return lo, hi, w_hi
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int,
+                    align_corners: bool = False) -> np.ndarray:
+    """Bilinear resize of [..., H, W] float arrays, bit-matching torch
+    ``F.interpolate(mode="bilinear", align_corners=...)`` / torchvision
+    tensor resize (oracle-tested in ``tests/test_annotate.py``)."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[-2], img.shape[-1]
+    ylo, yhi, wy = _bilinear_1d_weights(h, out_h, align_corners)
+    xlo, xhi, wx = _bilinear_1d_weights(w, out_w, align_corners)
+    rows_lo, rows_hi = img[..., ylo, :], img[..., yhi, :]
+    rows = rows_lo + (rows_hi - rows_lo) * wy[:, None]     # [..., out_h, W]
+    cols_lo, cols_hi = rows[..., :, xlo], rows[..., :, xhi]
+    return cols_lo + (cols_hi - cols_lo) * wx
+
+
+def prepare_human_input(imgs: np.ndarray) -> np.ndarray:
+    """[B, 3(BGR), H, W] 0..255 float images -> the LIP net input
+    [B, 3, 473, 473] (``human_parts_preprocessor.py:90-92``: torchvision
+    bilinear resize, /255, Normalize with the BGR-order mean/std)."""
+    x = bilinear_resize(np.asarray(imgs, np.float32),
+                        *HUMAN_PARTS_INPUT_SIZE, align_corners=False)
+    x = x / 255.0
+    return ((x - HUMAN_PARTS_MEAN[:, None, None])
+            / HUMAN_PARTS_STD[:, None, None])
+
+
+def human_logits_to_mask(logits: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Net logits [B, 20, h', w'] -> uint8 part masks [B, H, W]
+    (``human_parts_preprocessor.py:96-101``): bilinear upsample to 473x473
+    with align_corners=True, torchvision resize back to the original frame
+    (align_corners=False), argmax over the 20 LIP classes."""
+    up = bilinear_resize(np.asarray(logits, np.float32),
+                         *HUMAN_PARTS_INPUT_SIZE, align_corners=True)
+    back = bilinear_resize(up, h, w, align_corners=False)
+    return np.argmax(back, axis=-3).astype(np.uint8)
 
 
 def masks_to_boxes(masks: np.ndarray) -> np.ndarray:

@@ -84,13 +84,27 @@ class SyntheticAnnotator:
                 "box_things": panoptic_thing_boxes(pan),
             }
         if self.kind == "human":
-            parts = np.full((h, w), -1, np.int16)
+            # fake NET logits at the LIP net's output resolution; the
+            # input-prep + logits->mask chain is the real ported transform
+            # (human_parts_preprocessor.py:90-101)
+            from .annotate import (HUMAN_PARTS_CLASSES, human_logits_to_mask,
+                                   prepare_human_input)
+
+            net_in = prepare_human_input(
+                np.ascontiguousarray(
+                    np.asarray(image, np.float32).transpose(2, 0, 1))[None])
+            out_hw = net_in.shape[-1] // 4 + 1               # SCHP os=4: 119
+            logits = np.full((1, HUMAN_PARTS_CLASSES, out_hw, out_hw),
+                             -4.0, np.float32)
+            logits[:, 0] = 4.0                               # background
             for part in range(int(rng.integers(1, 4))):
-                y, x = rng.integers(0, max(h - 4, 1)), rng.integers(
-                    0, max(w - 4, 1))
-                parts[y:y + int(rng.integers(4, h // 2 + 5)),
-                      x:x + int(rng.integers(4, w // 2 + 5))] = int(
-                          rng.integers(0, 20))
+                y, x = rng.integers(0, out_hw - 2), rng.integers(
+                    0, out_hw - 2)
+                bh, bw = rng.integers(2, out_hw // 2), rng.integers(
+                    2, out_hw // 2)
+                cls = int(rng.integers(1, HUMAN_PARTS_CLASSES))
+                logits[0, cls, y:y + bh, x:x + bw] = 8.0
+            parts = human_logits_to_mask(logits, h, w)[0].astype(np.int16)
             return {
                 "seg_human": parts,
                 "edges": edges_from_instances(parts).astype(np.uint8),
@@ -172,7 +186,8 @@ def _local_worker(paths: List[str], out_dir: str, kind: str, ann: Annotator,
 
 def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
                    machine_idx: int = 0, machines_total: int = 1,
-                   max_repack: int = 4, max_ahead: int = 4) -> List[str]:
+                   max_repack: int = 4, max_ahead: int = 4,
+                   out_url: Optional[str] = None) -> List[str]:
     """Annotate every sample of every shard, then repack processed shards.
 
     Returns the list of written output tar paths.  The coordinator consumes
@@ -182,6 +197,11 @@ def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
     a fast annotator may run ahead of the slowest one — the reference's
     disk-pressure throttle (``preprocessor_web.py:64,130-134,186-194``);
     scratch npz files for unrepacked shards are what the bound caps.
+
+    ``out_url``: optional remote sink template containing ``{name}`` (the
+    shard basename), e.g. ``pipe:aws s3 cp - s3://bucket/{name}`` — the
+    reference's fsspec S3 write (``preprocessor_web.py:240-243``) as a
+    symmetric ``pipe:`` URL.  When unset, tars land in ``out_dir``.
     """
     os.makedirs(out_dir, exist_ok=True)
     scratch = os.path.join(out_dir, "_scratch")
@@ -218,7 +238,9 @@ def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
             return
         done_counts[tar] = done_counts.get(tar, 0) + 1
         if done_counts[tar] == n_kinds:
-            out_tar = os.path.join(out_dir, os.path.basename(tar))
+            name = os.path.basename(tar)
+            out_tar = (out_url.format(name=name) if out_url
+                       else os.path.join(out_dir, name))
             repack_procs = [p for p in repack_procs if p.is_alive()]
             while len(repack_procs) >= max_repack:
                 time.sleep(0.05)
@@ -301,34 +323,72 @@ def _web_worker(shards: List[str], scratch: str, kind: str, ann: Annotator,
         ready.put(f"{kind}/0/exit/-")
 
 
+def _open_tar_sink(out_tar: str):
+    """Writable tar for a local path OR a ``pipe:<cmd>`` URL — symmetric
+    with the read side (``tario._open_shard``) and the reference's remote
+    repack sink, which streams the output tar to S3 through fsspec
+    (``/root/reference/Data/preprocessor_web.py:240-243``).  For pipes the
+    tar is written in stream mode to the subprocess's stdin (e.g.
+    ``pipe:aws s3 cp - s3://bucket/shard.tar``)."""
+    import subprocess
+
+    if out_tar.startswith("pipe:"):
+        proc = subprocess.Popen(out_tar[5:], shell=True,
+                                stdin=subprocess.PIPE, bufsize=1 << 20)
+        assert proc.stdin is not None
+        return tarfile.open(fileobj=proc.stdin, mode="w|"), proc
+    return tarfile.open(out_tar, "w"), None
+
+
 def repack_single_tar(src_tar: str, scratch: str, out_tar: str,
                       kinds: Sequence[str]) -> None:
     """Merge source jpg/txt members + the per-kind npz outputs into one
     processed tar with a single combined npz per sample (the layout
-    ``PreprocessedWebDataset`` consumes)."""
-    with tarfile.open(out_tar, "w") as out:
-        for sample in iter_tar_samples(src_tar):
-            key = sample["__key__"]
-            merged: Dict[str, np.ndarray] = {}
-            ok = True
-            for kind in kinds:
-                path = os.path.join(scratch,
-                                    _scratch_name(src_tar, key, kind))
-                if not os.path.exists(path):
-                    ok = False
-                    break
-                with np.load(path) as z:
-                    for name in z.files:
-                        new = _RENAME.get((kind, name), name)
-                        merged[new] = z[name]
-            if not ok:
-                continue
-            for ext in ("jpg", "txt"):
-                if ext in sample:
-                    _add_member(out, f"{key}.{ext}", sample[ext])
-            buf = io.BytesIO()
-            np.savez(buf, **merged)
-            _add_member(out, f"{key}.npz", buf.getvalue())
+    ``PreprocessedWebDataset`` consumes).  ``out_tar`` may be a local path
+    or a ``pipe:<cmd>`` URL (see ``_open_tar_sink``)."""
+    out, proc = _open_tar_sink(out_tar)
+    try:
+        try:
+            _repack_into(out, src_tar, scratch, kinds)
+            out.close()
+        except BrokenPipeError:
+            pass        # sink command died; surfaced via returncode below
+    finally:
+        if proc is not None:
+            try:
+                proc.stdin.close()
+            except BrokenPipeError:
+                pass
+            rc = proc.wait()
+            if rc != 0:
+                raise RuntimeError(
+                    f"repack sink command failed (rc={rc}): {out_tar}")
+
+
+def _repack_into(out: tarfile.TarFile, src_tar: str, scratch: str,
+                 kinds: Sequence[str]) -> None:
+    for sample in iter_tar_samples(src_tar):
+        key = sample["__key__"]
+        merged: Dict[str, np.ndarray] = {}
+        ok = True
+        for kind in kinds:
+            path = os.path.join(scratch,
+                                _scratch_name(src_tar, key, kind))
+            if not os.path.exists(path):
+                ok = False
+                break
+            with np.load(path) as z:
+                for name in z.files:
+                    new = _RENAME.get((kind, name), name)
+                    merged[new] = z[name]
+        if not ok:
+            continue
+        for ext in ("jpg", "txt"):
+            if ext in sample:
+                _add_member(out, f"{key}.{ext}", sample[ext])
+        buf = io.BytesIO()
+        np.savez(buf, **merged)
+        _add_member(out, f"{key}.npz", buf.getvalue())
 
 
 # annotator-local npz names -> combined-tar names
@@ -368,4 +428,5 @@ def run_preprocessor(cfg: Dict) -> List[str]:
         return []
     return preprocess_web(cfg["shards"], cfg["out_dir"], anns,
                           machine_idx=cfg.get("machine_idx", 0),
-                          machines_total=cfg.get("machines_total", 1))
+                          machines_total=cfg.get("machines_total", 1),
+                          out_url=cfg.get("out_url"))

@@ -167,3 +167,63 @@ def test_draw_contour_clips_out_of_frame():
     from mas_tpu.data.annotate import draw_closed_contour
     draw_closed_contour(mask, pts, 7)      # must not raise
     assert (mask == 7).any()
+
+
+# --- human-parts transform chain (human_parts_preprocessor.py:78-101) -------
+
+def _torch_resize(x, size, align_corners):
+    import torch
+    import torch.nn.functional as F
+
+    return F.interpolate(torch.from_numpy(np.asarray(x, np.float32)),
+                         size=size, mode="bilinear",
+                         align_corners=align_corners).numpy()
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("shape", [(37, 53, 96, 96), (37, 53, 17, 29)])
+def test_bilinear_resize_matches_torch(align_corners, shape):
+    pytest.importorskip("torch")
+    from mas_tpu.data.annotate import bilinear_resize
+
+    in_h, in_w, out_h, out_w = shape
+    x = np.random.default_rng(0).random((2, 3, in_h, in_w)).astype(np.float32)
+    ours = bilinear_resize(x, out_h, out_w, align_corners=align_corners)
+    ref = _torch_resize(x, (out_h, out_w), align_corners)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_prepare_human_input_matches_torch_chain():
+    torch = pytest.importorskip("torch")
+    from mas_tpu.data.annotate import (HUMAN_PARTS_INPUT_SIZE,
+                                       HUMAN_PARTS_MEAN, HUMAN_PARTS_STD,
+                                       prepare_human_input)
+
+    rng = np.random.default_rng(1)
+    imgs = (rng.random((2, 3, 64, 48)) * 255).astype(np.float32)
+    ours = prepare_human_input(imgs)
+    # literal reference chain (human_parts_preprocessor.py:90-92)
+    t = _torch_resize(imgs, HUMAN_PARTS_INPUT_SIZE, align_corners=False)
+    ref = ((t / 255.0 - HUMAN_PARTS_MEAN[:, None, None])
+           / HUMAN_PARTS_STD[:, None, None])
+    assert ours.shape == (2, 3, 473, 473)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_human_logits_to_mask_matches_torch_chain():
+    torch = pytest.importorskip("torch")
+    from mas_tpu.data.annotate import (HUMAN_PARTS_INPUT_SIZE,
+                                       human_logits_to_mask)
+
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(2, 20, 119, 119)).astype(np.float32)
+    h, w = 70, 90
+    ours = human_logits_to_mask(logits, h, w)
+    # reference: Upsample(473, align_corners=True) -> resize(h, w) -> argmax
+    # (human_parts_preprocessor.py:96-100)
+    up = _torch_resize(logits, HUMAN_PARTS_INPUT_SIZE, align_corners=True)
+    back = _torch_resize(up, (h, w), align_corners=False)
+    ref = np.argmax(back, axis=1)
+    assert ours.shape == (2, h, w) and ours.dtype == np.uint8
+    # argmax can flip on float ties near region borders; demand near-exact
+    assert (ours == ref).mean() > 0.999

@@ -325,3 +325,32 @@ def test_run_pretrain_segmentation_packed_labels(tmp_path):
     state = run_pretrain_segmentation(train, model, batches, logger=logger)
     assert int(state.step) == 3
     assert np.isfinite(float(state.step))
+
+
+def test_preprocess_web_pipe_sink(tmp_path):
+    """Remote-sink parity (preprocessor_web.py:240-243): output tars stream
+    through a ``pipe:`` command template instead of landing in out_dir."""
+    raw = str(tmp_path / "raw.tar")
+    _write_raw_tar(raw)
+    sink_dir = tmp_path / "remote"
+    sink_dir.mkdir()
+    anns = {k: SyntheticAnnotator(k) for k in ("panoptic", "human", "face")}
+    outs = preprocess_web(
+        raw, str(tmp_path / "out"), anns,
+        out_url=f"pipe:cat > {sink_dir}/{{name}}")
+    assert outs == [f"pipe:cat > {sink_dir}/raw.tar"]
+    # nothing written locally; the piped tar is a valid processed shard
+    assert not os.path.exists(tmp_path / "out" / "raw.tar")
+    from mas_tpu.data.dataset import PreprocessedWebDataset
+    samples = list(PreprocessedWebDataset(str(sink_dir / "raw.tar"),
+                                          resolution=32))
+    assert len(samples) == 2 and samples[0]["mask"].shape == (32, 32, 159)
+
+
+def test_repack_pipe_sink_failure_raises(tmp_path):
+    from mas_tpu.data.preprocess import repack_single_tar
+
+    raw = str(tmp_path / "raw.tar")
+    _write_raw_tar(raw, n=1)
+    with pytest.raises(RuntimeError, match="repack sink"):
+        repack_single_tar(raw, str(tmp_path), "pipe:exit 3", ("panoptic",))
