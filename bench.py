@@ -33,7 +33,7 @@ def log(*a):
 
 def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
                    kv_cache_dtype: str = "int4", cache_segment: int = 0,
-                   ring: bool = False):
+                   ring: bool = False, kv_layout: str = "lane"):
     from mas_tpu.models.sampler import sample_tokens
     from mas_tpu.models.transformer import MakeAScene
     from mas_tpu.models.vqvae import VQModel
@@ -52,7 +52,8 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
         kv_cache_dtype=kv_cache_dtype,   # int4 serving default: 30.7 img/s
                                          # vs 24.6 int8 at 256^2 (BASELINE.md;
                                          # sample-FID parity measured)
-        decode_attention_impl=decode_impl, decode_ring_tail=ring)
+        decode_attention_impl=decode_impl, decode_ring_tail=ring,
+        kv_cache_layout=kv_layout)
     vcfg = VQModelConfig(
         in_channels=3, out_channels=3, resolution=resolution,
         attn_resolutions=(resolution // 16,), compute_dtype="bfloat16",
@@ -110,9 +111,10 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
 
 
 def run(batches, iters, resolution=256, decode_impl="auto",
-        kv_cache_dtype="int4", cache_segment=0, ring=False):
+        kv_cache_dtype="int4", cache_segment=0, ring=False,
+        kv_layout="lane"):
     pipeline, tcfg = build_pipeline(resolution, decode_impl, kv_cache_dtype,
-                                    cache_segment, ring)
+                                    cache_segment, ring, kv_layout)
     best = 0.0
     best_batch = 0
     for b in batches:
@@ -139,6 +141,13 @@ def run(batches, iters, resolution=256, decode_impl="auto",
 
 
 def main():
+    # persistent XLA compilation cache: geometry re-runs skip the (up to
+    # 400 s, BENCH_r02) serving-graph compile entirely
+    from mas_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    log(f"compilation cache: {cache_dir}")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--batch", type=int, default=0,
@@ -156,7 +165,15 @@ def main():
                     help="segmented cache growth (0 = single full cache)")
     ap.add_argument("--ring", action="store_true",
                     help="ring-tail decode (frozen int8 + compute tail)")
+    ap.add_argument("--kv-layout", default="lane",
+                    choices=("lane", "packed"),
+                    help="quantized-cache layout: 'packed' = k-v packed "
+                         "along lanes, written in place by the aliased "
+                         "Pallas RMW kernel (ops/decode_cache.py)")
     args = ap.parse_args()
+    if args.kv_layout == "packed" and args.kv_cache == "compute":
+        log("--kv-layout packed requires a quantized cache; forcing int4")
+        args.kv_cache = "int4"
     if args.ring and args.kv_cache != "int8":
         # the ring branch only engages for int8 caches (sampler.py); with
         # the int4 default it would silently benchmark the plain path
@@ -178,7 +195,7 @@ def main():
                                # (fp16@8 was round 1's 0.94 img/s)
     best, best_batch = run(batches, iters, args.resolution,
                            args.decode_impl, args.kv_cache,
-                           args.cache_segment, args.ring)
+                           args.cache_segment, args.ring, args.kv_layout)
 
     from benchmarks.torch_baseline import get_baseline
     base = get_baseline(resolution=args.resolution)

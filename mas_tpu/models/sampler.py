@@ -27,14 +27,26 @@ from ..utils.config import TransformerConfig
 from .transformer import MakeAScene
 
 
-def _sample_logits(logits, rng, temperature: float, top_k: int):
-    """logits [B, V] -> token ids [B]."""
+def _sample_logits(logits, rng, temperature: float, top_k: int,
+                   approx: bool = True):
+    """logits [B, V] -> token ids [B].
+
+    Top-k sampling runs as select-k-then-categorical-over-k — the same
+    distribution as masking the full vocab to the k-th value, but the
+    gumbel draw shrinks from [B, V] to [B, k] and the O(V log V)-ish sort
+    becomes ``approx_max_k`` (TPU-native PartialReduce, recall 0.95 over
+    scattered near-ties; CPU falls back to exact).  Round-2 ablation
+    priced the old full-vocab head at 0.55 ms/token (BASELINE.md).
+    ``approx=False`` keeps the exact ``lax.top_k`` for parity checks.
+    """
     logits = logits.astype(jnp.float32)
     if temperature != 1.0:
         logits = logits / max(temperature, 1e-6)
     if top_k > 0 and top_k < logits.shape[-1]:
-        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
+        select = jax.lax.approx_max_k if approx else jax.lax.top_k
+        vals, idx = select(logits, top_k)
+        j = jax.random.categorical(rng, vals, axis=-1)
+        return jnp.take_along_axis(idx, j[:, None], axis=-1)[:, 0]
     return jax.random.categorical(rng, logits, axis=-1)
 
 
@@ -103,14 +115,28 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
                                    bb, rng, guidance_scale, temperature,
                                    top_k)
 
+    from ..ops.decode_attention import transpose_cache
+    from ..ops.quant import QuantCache, quantize_kv
+
+    if (cfg.kv_cache_layout == "packed"
+            and cfg.kv_cache_dtype in ("int8", "int4")):
+        # packed k‖v cache, updated in place by the aliased Pallas RMW
+        # kernel (ops/decode_cache.py) — full-size from the start (growing
+        # would copy; the aliased write never does), no segmenting
+        from ..ops.decode_cache import seed_packed_cache
+
+        qdt = jnp.int4 if cfg.kv_cache_dtype == "int4" else jnp.int8
+        caches = tuple(
+            (seed_packed_cache(k, v, cfg.total_length, dtype=qdt), None)
+            for k, v in caches)
+        return _decode_loop(model, variables, caches, logits0, b, bb, rng,
+                            guidance_scale, temperature, top_k)
+
     # preallocate per-layer caches in the TRANSPOSED decode layout
     # [B, H, hd, size] (sequence in lanes — see mas_tpu.ops.
     # decode_attention); prefix occupies [0, prefix_length).  Caches start
     # at the first segment's size and grow between segments (zero-pad +
     # one full copy per boundary, amortized over the segment's tokens).
-    from ..ops.decode_attention import transpose_cache
-    from ..ops.quant import QuantCache, quantize_kv
-
     plan = _segment_plan(cfg.prefix_length, cfg.image_length,
                          cfg.total_length, cache_segment)
     size0 = plan[0][2]
@@ -171,6 +197,32 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
             body, (caches, tok, rng), jnp.arange(start, end))
         parts.append(seg_toks)
     tokens = jnp.concatenate([tok0[None]] + parts, axis=0)   # [T_img, B]
+    return tokens.T.astype(jnp.int32)
+
+
+def _decode_loop(model, variables, caches, logits0, b, bb, rng,
+                 guidance_scale, temperature, top_k):
+    """Single full-size-cache decode scan (the packed-cache path: the
+    aliased in-place write makes cache growth/segmenting pointless)."""
+    cfg = model.cfg
+    rng, r0 = jax.random.split(rng)
+    tok0 = _sample_logits(_guided(logits0, b, guidance_scale), r0,
+                          temperature, top_k)
+
+    def body(carry, step):
+        caches, tok, rng = carry
+        tok_in = jnp.tile(tok, (bb // b,))[:, None]
+        logits, caches = model.apply(
+            variables, tok_in, step, caches,
+            method=MakeAScene.decode_step)
+        rng, r = jax.random.split(rng)
+        nxt = _sample_logits(_guided(logits, b, guidance_scale), r,
+                             temperature, top_k)
+        return (caches, nxt, rng), nxt
+
+    (_, _, _), toks = jax.lax.scan(
+        body, (caches, tok0, rng), jnp.arange(0, cfg.image_length - 1))
+    tokens = jnp.concatenate([tok0[None], toks], axis=0)     # [T_img, B]
     return tokens.T.astype(jnp.int32)
 
 

@@ -62,11 +62,6 @@ def resolve_attention_impl(cfg: TransformerConfig, seq_len: int) -> str:
     Hence: pallas on TPU whenever the sequence tiles the blocks, jnp as
     the CPU/odd-length fallback.  Explicit cfg.attention_impl overrides.
     """
-    if cfg.rudalle_relax:
-        # the sigma division after the midpoint shift rescales the logits —
-        # NOT a softmax-invariant shift — so the flash kernel's standard
-        # softmax would compute a different distribution; always jnp.
-        return "jnp"
     impl = cfg.attention_impl
     if impl != "auto":
         return impl
@@ -139,7 +134,11 @@ class SelfAttention(nn.Module):
         impl = (resolve_attention_impl(cfg, tq)
                 if prefix_length is not None else "jnp")
         if cfg.rudalle_relax:
-            ctx = rudalle_relax_attention(q, k, v, mask)
+            if impl != "jnp" and prefix_length is not None:
+                ctx = rudalle_relax_attention_fused(q, k, v, prefix_length,
+                                                    impl)
+            else:
+                ctx = rudalle_relax_attention(q, k, v, mask)
         elif impl != "jnp" and prefix_length is not None:
             ctx = prefix_causal_attention(q, k, v, prefix_length, impl=impl)
         else:
@@ -163,20 +162,42 @@ class SelfAttention(nn.Module):
         PB-relax max-shift cancels in softmax, so this IS the reference
         semantics).  Caches may be int8 ``QuantCache``s (per-position
         symmetric quantization, ``ops/quant.py``) — halves the cache HBM
-        traffic that dominates large-batch decode."""
+        traffic that dominates large-batch decode — or a single
+        ``PackedQuantCache`` (as ``k_cache``, with ``v_cache=None``):
+        k‖v packed along lanes and written IN PLACE by the aliased Pallas
+        RMW kernel (``ops/decode_cache.py``), which removes the
+        whole-cache carry copy XLA makes for ``dynamic_update_slice``
+        inside the sampler's scan."""
         from ..ops.decode_attention import decode_attention
+        from ..ops.decode_cache import (PackedQuantCache,
+                                        decode_attention_packed,
+                                        update_packed_cache)
         from ..ops.quant import (QuantCache, decode_attention_int8,
                                  update_quant_cache)
 
         cfg = self.cfg
         b = x.shape[0]
         q, k_new, v_new = self._qkv(x)
-        if cfg.rudalle_relax and isinstance(k_cache, QuantCache):
+        if cfg.rudalle_relax and isinstance(k_cache,
+                                            (QuantCache, PackedQuantCache)):
             raise TypeError("rudalle_relax decode needs a float KV cache")
         decode_impl = cfg.decode_attention_impl
         if decode_impl == "auto" and cfg.attention_impl in (
                 "pallas", "pallas_interpret"):
             decode_impl = cfg.attention_impl
+        if isinstance(k_cache, PackedQuantCache):
+            if decode_impl == "pallas_interpret":
+                write_impl = "pallas_interpret"
+            elif decode_impl == "jnp" or jax.default_backend() != "tpu":
+                write_impl = "jnp"
+            else:
+                write_impl = "pallas"
+            cache = update_packed_cache(k_cache, k_new, v_new, index,
+                                        impl=write_impl)
+            ctx = decode_attention_packed(q, cache, index)
+            ctx = ctx.astype(q.dtype).transpose(0, 2, 1, 3).reshape(
+                b, 1, cfg.hidden_dim)
+            return self.out_proj(ctx), (cache, None)
         if isinstance(k_cache, QuantCache):
             k_cache = update_quant_cache(
                 k_cache, k_new.transpose(0, 1, 3, 2), index)
@@ -293,6 +314,32 @@ def rudalle_relax_attention(q, k, v, mask):
     v_scale = _detached_max(vf)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, vf / v_scale,
                       preferred_element_type=jnp.float32)
+
+
+def rudalle_relax_attention_fused(q, k, v, prefix_length: int,
+                                  impl: str = "pallas"):
+    """rudalle_relax through the fused flash kernel — exact distribution.
+
+    The reference path (transformer.py:48-55,62): ``s = (q/sqrt(d)) @ (k/σ)ᵀ``,
+    detached midpoint shift ``c`` per row, ``(s - c)/σ``, masked to -65504,
+    softmax.  Since ``c`` is row-constant and ``σ`` a global positive scalar,
+    ``softmax((s - c)/σ) = softmax(s/σ)`` over the valid positions, and
+    ``exp(-65504 - rowmax)`` underflows to exactly 0 in fp32 — i.e. the
+    distribution equals standard masked ``softmax(q·kᵀ/(sqrt(d)·σ²))``.
+    Both σ factors therefore fold into the q operand and the v
+    max-normalization into the v operand; the shift exists only to dodge
+    torch fp16 overflow, which the kernel's fp32 running row-max replaces.
+    Gradients: σ stays traced (the reference backprops through it); the
+    v scale is detached (reference ``v.detach().max()``).
+    Returns ctx [B, H, T, hd] fp32 = probs @ (v / max(v)).
+    """
+    kf = k.astype(jnp.float32)
+    sigma = jnp.std(kf, ddof=1)
+    v_scale = _detached_max(v.astype(jnp.float32))
+    qs = (q.astype(jnp.float32) / (sigma * sigma)).astype(q.dtype)
+    vs = (v.astype(jnp.float32) / v_scale).astype(v.dtype)
+    return prefix_causal_attention(qs, k, vs, prefix_length,
+                                   impl=impl).astype(jnp.float32)
 
 
 def _rudalle_decode_attention(q, k_cache, v_cache, index):

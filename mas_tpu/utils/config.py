@@ -219,9 +219,11 @@ class TransformerConfig(_Base):
     # ruDALL-E numerical-relaxation variant (reference transformer.py:48-55,
     # 93-106,133-136): sigma-normalized scores with a min/max midpoint shift,
     # 65504 mask value, detached max-rescaling of v/context/MLP activations.
-    # Checkpoint-compat surface — forces the jnp attention path (the shift/
-    # sigma division changes the softmax distribution, so the flash kernel
-    # does not apply) and is incompatible with the int8 KV cache.
+    # Checkpoint-compat surface.  Algebraically the shift is a row-constant
+    # softmax-invariant and both sigma divisions fold into the q operand, so
+    # the flash kernel runs this variant exactly (see
+    # models/transformer.py::rudalle_relax_attention_fused); incompatible
+    # with the quantized KV caches (decode needs masked float statistics).
     rudalle_relax: bool = False
     # CogView LayerNorm-prescale (reference transformer.py:177-178,184-185,
     # 192-193): divide LN inputs by their detached per-position max (ln_in,
@@ -254,6 +256,15 @@ class TransformerConfig(_Base):
     # region every 128 tokens between scan segments.  Requires
     # total_length % 128 == 0; falls back to the plain cache otherwise.
     decode_ring_tail: bool = False
+    # quantized-cache memory layout for decode:
+    #   'lane'   — k and v in separate [B, H, hd, T] buffers (sequence in
+    #              lanes), written via dynamic_update_slice: XLA materializes
+    #              a whole-cache carry copy per scan step (+0.41 ms/
+    #              layer-token measured, BASELINE.md round-2 ablation);
+    #   'packed' — k‖v share one [B, H, T, 2*hd] buffer (128 dense lanes at
+    #              hd=64) updated IN PLACE by an input_output_aliased Pallas
+    #              RMW kernel (ops/decode_cache.py) — no carry copy.
+    kv_cache_layout: str = "lane"
 
     def __post_init__(self):
         if self.hidden_dim % self.num_attn_heads:
@@ -274,11 +285,23 @@ class TransformerConfig(_Base):
                 "rudalle_relax requires a floating-point KV cache (its "
                 "masked sigma/max statistics are not defined over the "
                 "quantized cache)")
-        if self.rudalle_relax and self.attention_impl not in ("auto", "jnp"):
+        if self.kv_cache_layout not in ("lane", "packed"):
             raise ConfigError(
-                "rudalle_relax is incompatible with the flash kernel: its "
-                "sigma/midpoint shift is not a softmax-invariant "
-                "transformation, so attention_impl must be 'auto' or 'jnp'")
+                f"kv_cache_layout must be lane/packed, got "
+                f"{self.kv_cache_layout!r}")
+        if self.kv_cache_layout == "packed":
+            if self.kv_cache_dtype not in ("int8", "int4"):
+                raise ConfigError(
+                    "kv_cache_layout='packed' is the quantized-cache "
+                    "layout; set kv_cache_dtype to int8 or int4")
+            if self.decode_ring_tail:
+                raise ConfigError(
+                    "decode_ring_tail and kv_cache_layout='packed' are "
+                    "alternative decode write-path strategies; pick one")
+            if self.total_length % 128:
+                raise ConfigError(
+                    "packed cache needs total_length % 128 == 0 (the "
+                    "scale RMW block is one 128-lane tile)")
 
     @property
     def head_dim(self) -> int:

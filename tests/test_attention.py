@@ -258,3 +258,52 @@ def test_auto_blocks_rules():
     # non-128-multiple: whole-array fallback blocks
     q, k = auto_blocks(96)
     assert q == 96 and k == 96
+
+
+class TestRudalleFused:
+    """rudalle_relax via the flash kernel: the sigma/midpoint variant
+    reduces to softmax(q.k/(sqrt(d) sigma^2)) (see
+    transformer.rudalle_relax_attention_fused), so the fused path must
+    match the literal jnp port exactly (up to fp reassociation)."""
+
+    def _mask(self, t, prefix):
+        pos = jnp.arange(t)
+        from mas_tpu.models.transformer import prefix_causal_mask
+        return prefix_causal_mask(pos, pos, prefix)
+
+    @pytest.mark.parametrize("prefix", [0, 128])
+    def test_forward_matches_literal(self, prefix):
+        from mas_tpu.models.transformer import (
+            rudalle_relax_attention, rudalle_relax_attention_fused)
+
+        q, k, v = _rand(b=2, h=2, t=256, d=64, seed=7)
+        ref = rudalle_relax_attention(q, k, v, self._mask(256, prefix))
+        out = rudalle_relax_attention_fused(q, k, v, prefix,
+                                            impl="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
+
+    def test_gradients_match_literal(self):
+        from mas_tpu.models.transformer import (
+            rudalle_relax_attention, rudalle_relax_attention_fused)
+
+        q, k, v = _rand(b=1, h=2, t=128, d=64, seed=8)
+        mask = self._mask(128, 64)
+        f_ref = lambda q, k, v: jnp.sum(
+            rudalle_relax_attention(q, k, v, mask) ** 2)
+        f_out = lambda q, k, v: jnp.sum(
+            rudalle_relax_attention_fused(q, k, v, 64,
+                                          impl="pallas_interpret") ** 2)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        g_out = jax.grad(f_out, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_out, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=5e-4)
+
+    def test_transformer_rudalle_pallas_config_accepted(self):
+        from mas_tpu.utils.config import TransformerConfig
+
+        cfg = TransformerConfig(num_layers=1, hidden_dim=64,
+                                num_attn_heads=2, rudalle_relax=True,
+                                attention_impl="pallas")
+        assert cfg.rudalle_relax

@@ -228,3 +228,21 @@ def test_sample_images_chunked_decode():
     assert out_chunked.shape == (4, vq_cfg.resolution, vq_cfg.resolution, 3)
     np.testing.assert_allclose(np.asarray(out_chunked),
                                np.asarray(out_full), atol=1e-5)
+
+
+def test_sample_logits_topk_distribution():
+    """The select-k-then-categorical head samples the SAME distribution as
+    masking the vocab to the top-k (ids outside top-k never drawn; inside,
+    softmax-proportional)."""
+    from mas_tpu.models.sampler import _sample_logits
+
+    logits = jnp.array([[0.0, 1.0, 2.0, 3.0, -1.0, 0.5]])
+    keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+    toks = jax.vmap(
+        lambda k: _sample_logits(logits, k, 1.0, 3, approx=False))(keys)
+    counts = np.bincount(np.asarray(toks).ravel(), minlength=6)
+    assert counts[0] == counts[4] == counts[5] == 0
+    probs = np.exp(np.array([1.0, 2.0, 3.0]))
+    probs /= probs.sum()
+    emp = counts[[1, 2, 3]] / counts.sum()
+    np.testing.assert_allclose(emp, probs, atol=0.03)
