@@ -166,10 +166,9 @@ def main():
     ap.add_argument("--ring", action="store_true",
                     help="ring-tail decode (frozen int8 + compute tail)")
     ap.add_argument("--kv-layout", default="lane",
-                    choices=("lane", "packed"),
-                    help="quantized-cache layout: 'packed' = k-v packed "
-                         "along lanes, written in place by the aliased "
-                         "Pallas RMW kernel (ops/decode_cache.py)")
+                    choices=("lane", "lane_aliased", "packed"),
+                    help="quantized-cache layout/write path "
+                         "(see TransformerConfig.kv_cache_layout)")
     args = ap.parse_args()
     if args.kv_layout == "packed" and args.kv_cache == "compute":
         log("--kv-layout packed requires a quantized cache; forcing int4")

@@ -199,10 +199,24 @@ class SelfAttention(nn.Module):
                 b, 1, cfg.hidden_dim)
             return self.out_proj(ctx), (cache, None)
         if isinstance(k_cache, QuantCache):
-            k_cache = update_quant_cache(
-                k_cache, k_new.transpose(0, 1, 3, 2), index)
-            v_cache = update_quant_cache(
-                v_cache, v_new.transpose(0, 1, 3, 2), index)
+            if cfg.kv_cache_layout == "lane_aliased":
+                from ..ops.decode_cache import update_quant_caches_aliased
+
+                if decode_impl == "pallas_interpret":
+                    write_impl = "pallas_interpret"
+                elif (decode_impl == "jnp"
+                      or jax.default_backend() != "tpu"):
+                    write_impl = "jnp"
+                else:
+                    write_impl = "pallas"
+                k_cache, v_cache = update_quant_caches_aliased(
+                    k_cache, v_cache, k_new.transpose(0, 1, 3, 2),
+                    v_new.transpose(0, 1, 3, 2), index, impl=write_impl)
+            else:
+                k_cache = update_quant_cache(
+                    k_cache, k_new.transpose(0, 1, 3, 2), index)
+                v_cache = update_quant_cache(
+                    v_cache, v_new.transpose(0, 1, 3, 2), index)
             impl = (decode_impl if decode_impl in
                     ("pallas", "pallas_interpret") else "jnp")
             ctx = decode_attention_int8(q, k_cache, v_cache, index,

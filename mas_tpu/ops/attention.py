@@ -93,13 +93,21 @@ def prefix_causal_attention_jnp(q, k, v, prefix_length: int):
 # forward kernel
 # ---------------------------------------------------------------------------
 
+def _row_bound(qi, blk_q, prefix_length):
+    """Per-row visible-length bound [blk_q, 1]: the prefix-bidirectional
+    causal mask is always a CONTIGUOUS span [0, bound) — prefix rows see
+    [0, prefix), causal rows [0, qpos+1) — so one lane-iota compare
+    replaces the 2-iota/3-op boolean tile (a ~4-VPU-pass saving per score
+    tile, material because the fwd kernel is VPU-bound at d=64)."""
+    qpos = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
+    return jnp.where(qpos < prefix_length, prefix_length, qpos + 1)
+
+
 def _mask_tile(qi, kj, blk_q, blk_k, prefix_length):
     """Boolean [blk_q, blk_k] visibility tile for q-block qi, k-block kj."""
-    qpos = qi * blk_q + jax.lax.broadcasted_iota(
-        jnp.int32, (blk_q, blk_k), 0)
     kpos = kj * blk_k + jax.lax.broadcasted_iota(
         jnp.int32, (blk_q, blk_k), 1)
-    return (kpos <= qpos) | ((qpos < prefix_length) & (kpos < prefix_length))
+    return kpos < _row_bound(qi, blk_q, prefix_length)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk_q, blk_k,
@@ -111,6 +119,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk_q, blk_k,
     # the native bf16xbf16->fp32 path); all accumulation is fp32
     q = (q_ref[0] * jnp.asarray(scale, q_ref.dtype))     # [blk_q, d]
     nk = t_kv // blk_k
+
+    if blk_k == t_kv:
+        # single-pass regime (auto_blocks' measured winner at the flagship
+        # geometries): one exact softmax, no running-max/denominator
+        # recurrence ops at all
+        s = jax.lax.dot_general(
+            q, k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_q, t] f32
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
+        s = jnp.where(kpos < _row_bound(qi, blk_q, prefix_length), s,
+                      _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+        return
 
     def body(kj, carry):
         acc, m, l = carry

@@ -254,6 +254,149 @@ def update_packed_cache(cache: PackedQuantCache, k_new: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# aliased write for the LANE layout ([B, H, d, T], ops/quant.QuantCache)
+# ---------------------------------------------------------------------------
+#
+# MEASURED (BENCH r3, 256^2 batch 64 int4): the [B, H, T, 2d] packed
+# layout above LOSES end-to-end 8.8 vs 31.9 img/s — its attention read
+# must slice kv[..., :d] / kv[..., d:], which XLA materializes as a
+# whole-cache relayout copy per step (~2x the cache HBM traffic the
+# quantization bought back), and the opaque kernel boundary breaks the
+# einsum overlap.  The winning shape keeps the round-2 lane layout and
+# its bandwidth-perfect XLA read path UNTOUCHED, and only replaces the
+# dynamic_update_slice write with an aliased RMW of the 128-lane block
+# holding ``index`` — k/v values and scales in one kernel.
+
+
+def _lane_write_kernel(idx_ref, kq_new, ks_new, vq_new, vs_new,
+                       kq_hbm, ks_hbm, vq_hbm, vs_hbm,
+                       kq_out, ks_out, vq_out, vs_out,
+                       kblk, vblk, ksblk, vsblk, sems):
+    """RMW the 128-lane block containing ``index`` of all four aliased
+    lane-layout cache buffers (k/v values [B, H, d, T], scales
+    [B, H, 1, T]).  Grid over batch chunks bounds VMEM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    bc = kblk.shape[0]
+    idx = idx_ref[0]
+    base = (idx // _SCALE_BLK) * _SCALE_BLK
+    lane = idx - base
+
+    def rmw(out_ref, blk, new, sem, d3):
+        cp_in = pltpu.make_async_copy(
+            out_ref.at[pl.ds(i * bc, bc), :, :, pl.ds(base, _SCALE_BLK)],
+            blk, sem)
+        cp_in.start()
+        cp_in.wait()
+        h = blk.shape[1]
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (bc, h, d3, _SCALE_BLK), 3)
+        newc = new[pl.ds(i * bc, bc)]            # [bc, h, d3, 1]
+        if blk.dtype == jnp.int4:
+            # Mosaic cannot shape-cast int4 vectors; select in int8 space
+            sel = jnp.where(lanes == lane, newc.astype(jnp.int8),
+                            blk[:].astype(jnp.int8))
+            blk[:] = sel.astype(jnp.int4)
+        else:
+            blk[:] = jnp.where(lanes == lane, newc.astype(blk.dtype),
+                               blk[:])
+        cp_out = pltpu.make_async_copy(
+            blk,
+            out_ref.at[pl.ds(i * bc, bc), :, :, pl.ds(base, _SCALE_BLK)],
+            sem)
+        cp_out.start()
+        cp_out.wait()
+
+    d = kblk.shape[2]
+    rmw(kq_out, kblk, kq_new, sems.at[0], d)
+    rmw(vq_out, vblk, vq_new, sems.at[1], d)
+    rmw(ks_out, ksblk, ks_new, sems.at[2], 1)
+    rmw(vs_out, vsblk, vs_new, sems.at[3], 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lane_write_pallas(kq, ks, vq, vs, kq_new, ks_new, vq_new, vs_new,
+                       index, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, d, t = kq.shape
+    assert t % _SCALE_BLK == 0, (t, _SCALE_BLK)
+    idx = jnp.asarray(index, jnp.int32).reshape(1)
+
+    # batch-chunk so the two value blocks stay ~2 MB each
+    itemsize = 0.5 if kq.dtype == jnp.int4 else kq.dtype.itemsize
+    bc = b
+    while bc > 1 and bc * h * d * _SCALE_BLK * itemsize > 2 * 1024 * 1024:
+        assert bc % 2 == 0, (b, h, d)
+        bc //= 2
+    # caches stay HBM-resident (pltpu.ANY may resolve to VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.HBM)
+    vnew_spec = pl.BlockSpec((b, h, d, 1), lambda i, s: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    snew_spec = pl.BlockSpec((b, h, 1, 1), lambda i, s: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bc,),
+        in_specs=[vnew_spec, snew_spec, vnew_spec, snew_spec,
+                  full(), full(), full(), full()],
+        out_specs=[full(), full(), full(), full()],
+        scratch_shapes=[
+            pltpu.VMEM((bc, h, d, _SCALE_BLK), kq.dtype),
+            pltpu.VMEM((bc, h, d, _SCALE_BLK), vq.dtype),
+            pltpu.VMEM((bc, h, 1, _SCALE_BLK), jnp.float32),
+            pltpu.VMEM((bc, h, 1, _SCALE_BLK), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    # input indices incl. the scalar-prefetch arg: idx=0, news=1..4,
+    # caches=5..8 -> outputs 0..3
+    return pl.pallas_call(
+        _lane_write_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(kq.shape, kq.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vq.shape, vq.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(idx, kq_new, ks_new, vq_new, vs_new, kq, ks, vq, vs)
+
+
+def update_quant_caches_aliased(k_cache, v_cache, k_new_t, v_new_t, index,
+                                impl: str = "pallas"):
+    """Aliased in-place write of one token into lane-layout ``QuantCache``
+    pair (k, v); drop-in replacement for two ``update_quant_cache`` calls
+    (``ops/quant.py``) that removes the whole-cache carry copies XLA
+    makes for DUS inside the decode scan.  ``*_new_t`` are [B, H, d, 1]
+    float."""
+    from .quant import QuantCache, quantize_kv
+
+    kq = quantize_kv(k_new_t, dtype=k_cache.q.dtype)
+    vq = quantize_kv(v_new_t, dtype=v_cache.q.dtype)
+    if impl == "jnp":
+        z = jnp.zeros((), jnp.int32)
+        idx = jnp.asarray(index, jnp.int32)
+        dus = jax.lax.dynamic_update_slice
+        return (QuantCache(dus(k_cache.q, kq.q, (z, z, z, idx)),
+                           dus(k_cache.scale, kq.scale, (z, z, z, idx))),
+                QuantCache(dus(v_cache.q, vq.q, (z, z, z, idx)),
+                           dus(v_cache.scale, vq.scale, (z, z, z, idx))))
+    kqv, ksv, vqv, vsv = _lane_write_pallas(
+        k_cache.q, k_cache.scale, v_cache.q, v_cache.scale,
+        kq.q, kq.scale, vq.q, vq.scale, index,
+        interpret=(impl == "pallas_interpret"))
+    return QuantCache(kqv, ksv), QuantCache(vqv, vsv)
+
+
+# ---------------------------------------------------------------------------
 # attention read over the packed cache (jnp — XLA overlaps it with the
 # adjacent matmuls inside the decode scan)
 # ---------------------------------------------------------------------------

@@ -256,14 +256,22 @@ class TransformerConfig(_Base):
     # region every 128 tokens between scan segments.  Requires
     # total_length % 128 == 0; falls back to the plain cache otherwise.
     decode_ring_tail: bool = False
-    # quantized-cache memory layout for decode:
-    #   'lane'   — k and v in separate [B, H, hd, T] buffers (sequence in
-    #              lanes), written via dynamic_update_slice: XLA materializes
-    #              a whole-cache carry copy per scan step (+0.41 ms/
-    #              layer-token measured, BASELINE.md round-2 ablation);
-    #   'packed' — k‖v share one [B, H, T, 2*hd] buffer (128 dense lanes at
-    #              hd=64) updated IN PLACE by an input_output_aliased Pallas
-    #              RMW kernel (ops/decode_cache.py) — no carry copy.
+    # quantized-cache memory layout + write path for decode:
+    #   'lane'         — k and v in separate [B, H, hd, T] buffers (sequence
+    #                    in lanes), written via dynamic_update_slice: XLA
+    #                    materializes a whole-cache carry copy per scan step
+    #                    (+0.41 ms/layer-token, BASELINE.md round-2 ablation);
+    #   'lane_aliased' — same buffers and same (bandwidth-perfect,
+    #                    XLA-overlapped) read path, but the write is an
+    #                    input_output_aliased Pallas RMW of the 128-lane
+    #                    block holding the token (ops/decode_cache.py) —
+    #                    no carry copy;
+    #   'packed'       — k‖v share one [B, H, T, 2*hd] buffer with a
+    #                    sublane-block RMW write.  MEASURED LOSER (8.8 vs
+    #                    31.9 img/s, BENCH r3): the read must lane-slice
+    #                    kv[..., :hd], which XLA materializes as a
+    #                    whole-cache relayout copy per step.  Kept as the
+    #                    documented ablation.
     kv_cache_layout: str = "lane"
 
     def __post_init__(self):
@@ -285,23 +293,26 @@ class TransformerConfig(_Base):
                 "rudalle_relax requires a floating-point KV cache (its "
                 "masked sigma/max statistics are not defined over the "
                 "quantized cache)")
-        if self.kv_cache_layout not in ("lane", "packed"):
+        if self.kv_cache_layout not in ("lane", "lane_aliased", "packed"):
             raise ConfigError(
-                f"kv_cache_layout must be lane/packed, got "
+                f"kv_cache_layout must be lane/lane_aliased/packed, got "
                 f"{self.kv_cache_layout!r}")
-        if self.kv_cache_layout == "packed":
+        if self.kv_cache_layout in ("lane_aliased", "packed"):
             if self.kv_cache_dtype not in ("int8", "int4"):
                 raise ConfigError(
-                    "kv_cache_layout='packed' is the quantized-cache "
-                    "layout; set kv_cache_dtype to int8 or int4")
+                    f"kv_cache_layout={self.kv_cache_layout!r} is a "
+                    "quantized-cache layout; set kv_cache_dtype to int8 "
+                    "or int4")
             if self.decode_ring_tail:
                 raise ConfigError(
-                    "decode_ring_tail and kv_cache_layout='packed' are "
-                    "alternative decode write-path strategies; pick one")
+                    f"decode_ring_tail and kv_cache_layout="
+                    f"{self.kv_cache_layout!r} are alternative decode "
+                    "write-path strategies; pick one")
             if self.total_length % 128:
                 raise ConfigError(
-                    "packed cache needs total_length % 128 == 0 (the "
-                    "scale RMW block is one 128-lane tile)")
+                    f"kv_cache_layout={self.kv_cache_layout!r} needs "
+                    "total_length % 128 == 0 (the RMW block is one "
+                    "128-lane tile)")
 
     @property
     def head_dim(self) -> int:

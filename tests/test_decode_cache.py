@@ -174,3 +174,74 @@ class TestConfigGating:
         with pytest.raises(ConfigError, match="128"):
             TransformerConfig(**bad, kv_cache_dtype="int8",
                               kv_cache_layout="packed")
+
+
+class TestLaneAliased:
+    """lane_aliased: same lane-layout QuantCache pair and read path as
+    'lane', only the write becomes the aliased 128-lane-block RMW kernel
+    (ops/decode_cache.py::update_quant_caches_aliased)."""
+
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.int4])
+    @pytest.mark.parametrize("index", [0, 5, 128, 255])
+    def test_interpret_matches_jnp(self, dtype, index):
+        from mas_tpu.ops.decode_cache import update_quant_caches_aliased
+        from mas_tpu.ops.quant import quantize_kv
+
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        kc = quantize_kv(jax.random.normal(ks[0], (4, 2, 64, 256)),
+                         dtype=dtype)
+        vc = quantize_kv(jax.random.normal(ks[1], (4, 2, 64, 256)),
+                         dtype=dtype)
+        kn = jax.random.normal(ks[2], (4, 2, 64, 1))
+        vn = jax.random.normal(ks[3], (4, 2, 64, 1))
+        a = update_quant_caches_aliased(kc, vc, kn, vn, jnp.int32(index),
+                                        impl="pallas_interpret")
+        b = update_quant_caches_aliased(kc, vc, kn, vn, jnp.int32(index),
+                                        impl="jnp")
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(
+                np.asarray(x.astype(jnp.float32)),
+                np.asarray(y.astype(jnp.float32)))
+
+    def test_jnp_write_matches_plain_lane_updates(self):
+        from mas_tpu.ops.decode_cache import update_quant_caches_aliased
+        from mas_tpu.ops.quant import quantize_kv, update_quant_cache
+
+        ks = jax.random.split(jax.random.PRNGKey(1), 4)
+        kc = quantize_kv(jax.random.normal(ks[0], (2, 2, 64, 128)))
+        vc = quantize_kv(jax.random.normal(ks[1], (2, 2, 64, 128)))
+        kn = jax.random.normal(ks[2], (2, 2, 64, 1))
+        vn = jax.random.normal(ks[3], (2, 2, 64, 1))
+        a_k, a_v = update_quant_caches_aliased(kc, vc, kn, vn,
+                                               jnp.int32(9), impl="jnp")
+        b_k = update_quant_cache(kc, kn, jnp.int32(9))
+        b_v = update_quant_cache(vc, vn, jnp.int32(9))
+        for x, y in zip(jax.tree.leaves((a_k, a_v)),
+                        jax.tree.leaves((b_k, b_v))):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_sampler_identical_tokens_vs_lane(self):
+        """On the jnp write path the math is IDENTICAL to 'lane' — token
+        trajectories must match exactly."""
+        from mas_tpu.models.sampler import sample_tokens
+        from mas_tpu.models.transformer import MakeAScene
+        from mas_tpu.utils.config import TransformerConfig
+
+        cfg_lane = TransformerConfig(**_BASE, kv_cache_dtype="int8")
+        cfg_al = TransformerConfig(**_BASE, kv_cache_dtype="int8",
+                                   kv_cache_layout="lane_aliased")
+        rng = jax.random.PRNGKey(0)
+        text = jax.random.randint(rng, (2, 48), 1, 100)
+        seg = jax.random.randint(rng, (2, 16), 0, 128)
+        m = MakeAScene(cfg_lane)
+        variables = m.init(jax.random.PRNGKey(1), text, seg,
+                           jnp.zeros((2, 64), jnp.int32))
+        toks_lane = sample_tokens(m, variables, text, seg,
+                                  jax.random.PRNGKey(2),
+                                  guidance_scale=2.0, top_k=8)
+        m_al = MakeAScene(cfg_al)
+        toks_al = sample_tokens(m_al, variables, text, seg,
+                                jax.random.PRNGKey(2),
+                                guidance_scale=2.0, top_k=8)
+        np.testing.assert_array_equal(np.asarray(toks_al),
+                                      np.asarray(toks_lane))
