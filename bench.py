@@ -33,7 +33,8 @@ def log(*a):
 
 def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
                    kv_cache_dtype: str = "int4", cache_segment: int = 0,
-                   ring: bool = False, kv_layout: str = "lane"):
+                   ring: bool = False, kv_layout: str = "lane",
+                   buckets: int = 1):
     from mas_tpu.models.sampler import sample_tokens
     from mas_tpu.models.transformer import MakeAScene
     from mas_tpu.models.vqvae import VQModel
@@ -53,7 +54,7 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
                                          # vs 24.6 int8 at 256^2 (BASELINE.md;
                                          # sample-FID parity measured)
         decode_attention_impl=decode_impl, decode_ring_tail=ring,
-        kv_cache_layout=kv_layout)
+        kv_cache_layout=kv_layout, decode_length_buckets=buckets)
     vcfg = VQModelConfig(
         in_channels=3, out_channels=3, resolution=resolution,
         attn_resolutions=(resolution // 16,), compute_dtype="bfloat16",
@@ -112,9 +113,9 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
 
 def run(batches, iters, resolution=256, decode_impl="auto",
         kv_cache_dtype="int4", cache_segment=0, ring=False,
-        kv_layout="lane"):
+        kv_layout="lane", buckets=1):
     pipeline, tcfg = build_pipeline(resolution, decode_impl, kv_cache_dtype,
-                                    cache_segment, ring, kv_layout)
+                                    cache_segment, ring, kv_layout, buckets)
     best = 0.0
     best_batch = 0
     for b in batches:
@@ -165,6 +166,9 @@ def main():
                     help="segmented cache growth (0 = single full cache)")
     ap.add_argument("--ring", action="store_true",
                     help="ring-tail decode (frozen int8 + compute tail)")
+    ap.add_argument("--decode-buckets", type=int, default=1,
+                    help="length-bucketed decode reads: lax.switch over N "
+                         "static cache prefix slices (1 = whole cache)")
     ap.add_argument("--kv-layout", default="lane",
                     choices=("lane", "lane_aliased", "packed"),
                     help="quantized-cache layout/write path "
@@ -194,7 +198,8 @@ def main():
                                # (fp16@8 was round 1's 0.94 img/s)
     best, best_batch = run(batches, iters, args.resolution,
                            args.decode_impl, args.kv_cache,
-                           args.cache_segment, args.ring, args.kv_layout)
+                           args.cache_segment, args.ring, args.kv_layout,
+                           args.decode_buckets)
 
     from benchmarks.torch_baseline import get_baseline
     base = get_baseline(resolution=args.resolution)

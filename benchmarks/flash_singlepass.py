@@ -44,7 +44,19 @@ def main():
         q, k, v = (jax.random.normal(r, (B, H, t, D), jnp.bfloat16)
                    for r in jax.random.split(rng, 3))
 
-        for blk_q, blk_k in ((128, t), (128, 128)):
+        # (128, t) = shipped single-pass; t//2 splits let the bwd kernels'
+        # lo/hi bounds actually SKIP masked halves (at blk_k=t the bwd
+        # computes the full t x t score matrix, mask-only); 128 = the
+        # small-block loser kept for reference
+        # blk_k sits in sublane position of the k/v blocks (8-divisible is
+        # enough; score-tile lanes pad to the next 128 internally)
+        half = t // 2 if (t // 2) % 8 == 0 else t
+        cfgs = [(128, t), (128, half), (256, half), (128, 128)]
+        seen = set()
+        cfgs = [c for c in cfgs
+                if t % c[0] == 0 and t % c[1] == 0
+                and not (c in seen or seen.add(c))]
+        for blk_q, blk_k in cfgs:
             @jax.jit
             def fwd_scan(q, k, v, bq=blk_q, bk=blk_k):
                 def body(c, _):

@@ -18,12 +18,19 @@ zero-egress image) and measuring:
               FID vs real scenes + sample grids — the trained-weights
               KV-quantization evidence VERDICT r1 asked for.
 
-Run:  python benchmarks/recon_quality.py [seg|img|ar|all] (real TPU; ~40 min
-for `all`).  Metrics accumulate into results/recon_quality.json.
+Run:  python benchmarks/recon_quality.py [seg|img|ar|all]
+        [--res 256|512] [--pool N] [--batch B] [--steps-seg N]
+        [--steps-img N] [--steps-ar N] [--ar-eval-prompts N]
+(real TPU; ~40 min for the default demonstration schedule, ~3 h for the
+round-3 competence schedule: --pool 16384 --steps-seg 12000
+--steps-img 12000 --steps-ar 20000 --ar-eval-prompts 128).
+Metrics accumulate into results/recon_quality.json (keys suffixed _512
+at --res 512 so both resolutions coexist).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -59,6 +66,8 @@ def record(stage: str, metrics: dict) -> None:
     if os.path.exists(path):
         with open(path) as f:
             data = json.load(f)
+    if RES != 256:
+        stage = f"{stage}_{RES}"
     data[stage] = {k: (float(v) if not isinstance(v, (list, str)) else v)
                    for k, v in metrics.items()}
     with open(path, "w") as f:
@@ -101,8 +110,10 @@ def seg_model_cfg():
 
 
 def img_model_cfg():
+    # attention at the 16x-reduced bottleneck (256 -> 16^2, 512 -> 32^2)
     return vq_img_config(
-        resolution=RES, attn_resolutions=(16,), compute_dtype="bfloat16",
+        resolution=RES, attn_resolutions=(RES // 16,),
+        compute_dtype="bfloat16",
         codebook=CodebookConfig(codebook_size=8192, init_steps=200,
                                 reservoir_size=50_000))
 
@@ -239,7 +250,7 @@ def ar_cfg() -> TransformerConfig:
     return TransformerConfig(
         num_layers=8, hidden_dim=512, num_attn_heads=8,
         image_vocab_size=8192, seg_vocab_size=1024,
-        text_vocab_size=64 + TEXT_LEN, image_tokens_per_dim=16,
+        text_vocab_size=64 + TEXT_LEN, image_tokens_per_dim=RES // 16,
         seg_tokens_per_dim=16, text_length=TEXT_LEN,
         compute_dtype="bfloat16")
 
@@ -338,69 +349,109 @@ def stage_ar(steps: int = 4000):
     train_s = time.time() - t0
     variables = {"params": state.params}
 
-    # held-out conditioning
-    held = next(iter(StructuredSceneBatches(AR_BATCH, RES, seed=2026,
-                                            compact=True)))
-    text = jnp.asarray(scene_text_tokens(held))
-    seg_t = seg_enc(jnp.asarray(held["seg_packed"])).reshape(AR_BATCH, -1)
-
-    samples = {}
-    for kv in ("compute", "int8", "int4"):
-        model = MakeAScene(tcfg.replace(kv_cache_dtype=kv))
-        toks = sample_tokens(model, variables, text, seg_t.astype(jnp.int32),
-                             jax.random.PRNGKey(11), guidance_scale=2.0,
-                             temperature=1.0, top_k=64)
-        grid = toks.reshape(-1, tcfg.image_tokens_per_dim,
-                            tcfg.image_tokens_per_dim)
-        samples[kv] = dict(
-            tokens=np.asarray(toks),
-            pixels=np.clip(np.asarray(img_dec(grid)), 0.0, 1.0))
-
+    # held-out conditioning: AR_EVAL_PROMPTS prompts sampled in AR_BATCH
+    # chunks under every cache dtype (>= 128 prompts gives the int4
+    # FID-parity claim statistical weight — VERDICT r2 #3)
+    n_chunks = max(1, AR_EVAL_PROMPTS // AR_BATCH)
     lpips = LPIPS()
     dummy = jnp.zeros((1, RES, RES, 3), jnp.float32)
     lpips_vars = lpips.init(jax.random.PRNGKey(1), dummy, dummy)
     lpips_apply = jax.jit(lambda a, b: jnp.mean(lpips.apply(lpips_vars, a, b)))
     feat = lpips_feature_fn(lpips, lpips_vars)
 
-    metrics = dict(steps=steps, train_seconds=train_s)
-    ref_px = samples["compute"]["pixels"]
-    for kv in ("int8", "int4"):
-        agree = (samples[kv]["tokens"] == samples["compute"]["tokens"]).mean()
-        metrics[f"{kv}_token_agreement"] = float(agree)
-        metrics[f"{kv}_sample_l1_delta"] = float(
-            np.abs(samples[kv]["pixels"] - ref_px).mean())
-        metrics[f"{kv}_sample_lpips_delta"] = float(
-            lpips_apply(jnp.asarray(samples[kv]["pixels"]),
-                        jnp.asarray(ref_px)))
-
-    # distributional check: FID(samples, real scenes) per cache dtype
+    kvs = ("compute", "int8", "int4")
+    models = {kv: MakeAScene(tcfg.replace(kv_cache_dtype=kv)) for kv in kvs}
+    fid_s = {kv: FIDAccumulator(feat) for kv in kvs}
     fid_real = FIDAccumulator(feat)
+    agg = {kv: {"agree": [], "l1": [], "lpips": []} for kv in kvs[1:]}
+    grid_rows = None
+    for c in range(n_chunks):
+        held = next(iter(StructuredSceneBatches(AR_BATCH, RES,
+                                                seed=2026 + c,
+                                                compact=True)))
+        text = jnp.asarray(scene_text_tokens(held))
+        seg_t = seg_enc(jnp.asarray(held["seg_packed"])).reshape(
+            AR_BATCH, -1)
+        samples = {}
+        for kv in kvs:
+            toks = sample_tokens(models[kv], variables, text,
+                                 seg_t.astype(jnp.int32),
+                                 jax.random.PRNGKey(11 + c),
+                                 guidance_scale=2.0, temperature=1.0,
+                                 top_k=64)
+            grid = toks.reshape(-1, tcfg.image_tokens_per_dim,
+                                tcfg.image_tokens_per_dim)
+            samples[kv] = dict(
+                tokens=np.asarray(toks),
+                pixels=np.clip(np.asarray(img_dec(grid)), 0.0, 1.0))
+            fid_s[kv].update(jnp.asarray(samples[kv]["pixels"]))
+        ref = samples["compute"]
+        for kv in kvs[1:]:
+            agg[kv]["agree"].append(
+                (samples[kv]["tokens"] == ref["tokens"]).mean())
+            agg[kv]["l1"].append(
+                np.abs(samples[kv]["pixels"] - ref["pixels"]).mean())
+            agg[kv]["lpips"].append(float(lpips_apply(
+                jnp.asarray(samples[kv]["pixels"]),
+                jnp.asarray(ref["pixels"]))))
+        if c == 0:
+            grid_rows = np.concatenate([np.asarray(held["image"][:4]),
+                                        ref["pixels"][:4],
+                                        samples["int4"]["pixels"][:4]])
+
+    metrics = dict(steps=steps, train_seconds=train_s,
+                   eval_prompts=n_chunks * AR_BATCH)
+    for kv in kvs[1:]:
+        metrics[f"{kv}_token_agreement"] = float(np.mean(agg[kv]["agree"]))
+        metrics[f"{kv}_sample_l1_delta"] = float(np.mean(agg[kv]["l1"]))
+        metrics[f"{kv}_sample_lpips_delta"] = float(
+            np.mean(agg[kv]["lpips"]))
+
+    # distributional check: FID(samples, real scenes) per cache dtype,
+    # real pool matched to the sample count
     for i, batch in enumerate(StructuredSceneBatches(AR_BATCH, RES,
                                                      seed=31, compact=True)):
-        if i >= 4:
+        if i >= max(4, n_chunks):
             break
         fid_real.update(jnp.asarray(batch["image"]))
-    for kv, s in samples.items():
-        fid_s = FIDAccumulator(feat)
-        fid_s.update(jnp.asarray(s["pixels"]))
-        metrics[f"{kv}_sample_fid_vgg"] = fid_real.fid(fid_s)
+    for kv in kvs:
+        metrics[f"{kv}_sample_fid_vgg"] = fid_real.fid(fid_s[kv])
 
-    save_image(make_grid(np.concatenate([np.asarray(held["image"][:4]),
-                                         samples["compute"]["pixels"][:4],
-                                         samples["int4"]["pixels"][:4]]),
-                         nrow=4),
+    save_image(make_grid(grid_rows, nrow=4),
                os.path.join(RESULTS, "ar_samples_grid.png"))
     record("ar", metrics)
 
 
+AR_EVAL_PROMPTS = 32
+
+
 def main():
-    stage = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if stage in ("seg", "all"):
-        stage_seg()
-    if stage in ("img", "all"):
-        stage_img()
-    if stage in ("ar", "all"):
-        stage_ar()
+    global RES, BATCH, TRAIN_CACHE, CKPT, AR_EVAL_PROMPTS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage", nargs="?", default="all",
+                    choices=("seg", "img", "ar", "all"))
+    ap.add_argument("--res", type=int, default=256, choices=(256, 512))
+    ap.add_argument("--pool", type=int, default=512,
+                    help="scene-pool size for the training streams")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps-seg", type=int, default=3000)
+    ap.add_argument("--steps-img", type=int, default=3000)
+    ap.add_argument("--disc-start", type=int, default=2000)
+    ap.add_argument("--steps-ar", type=int, default=4000)
+    ap.add_argument("--ar-eval-prompts", type=int, default=32)
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint root (default /tmp/recon_q[_512])")
+    args = ap.parse_args()
+    RES, BATCH, TRAIN_CACHE = args.res, args.batch, args.pool
+    AR_EVAL_PROMPTS = args.ar_eval_prompts
+    CKPT = args.ckpt or ("/tmp/recon_q" if RES == 256
+                         else f"/tmp/recon_q_{RES}")
+    if args.stage in ("seg", "all"):
+        stage_seg(args.steps_seg)
+    if args.stage in ("img", "all"):
+        stage_img(args.steps_img, args.disc_start)
+    if args.stage in ("ar", "all"):
+        stage_ar(args.steps_ar)
 
 
 if __name__ == "__main__":

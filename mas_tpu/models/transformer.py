@@ -76,6 +76,23 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=True)
 
 
+def _length_buckets(t: int, n: int, prefix: int = 0) -> tuple:
+    """<= n ascending 128-multiple slice lengths ending at t (see
+    TransformerConfig.decode_length_buckets).  The decode valid length is
+    always > prefix, so only bounds beyond the prefix partition anything —
+    candidates below it are dropped.  Degenerates to () when fewer than
+    two useful bounds exist."""
+    if n <= 1:
+        return ()
+    cands = [b for b in range(128, t, 128) if b > prefix] + [t]
+    if len(cands) > n:
+        # thin to n evenly spaced candidates, always keeping t
+        keep = sorted({round((i + 1) * len(cands) / n) - 1
+                       for i in range(n)})
+        cands = [cands[j] for j in keep]
+    return tuple(cands) if len(cands) > 1 else ()
+
+
 def prefix_causal_mask(q_pos: jax.Array, k_pos: jax.Array,
                        prefix_length: int) -> jax.Array:
     """mask[i, j] = (k_pos[j] <= q_pos[i]) or both in the text+seg prefix."""
@@ -181,7 +198,14 @@ class SelfAttention(nn.Module):
         if cfg.rudalle_relax and isinstance(k_cache,
                                             (QuantCache, PackedQuantCache)):
             raise TypeError("rudalle_relax decode needs a float KV cache")
-        decode_impl = cfg.decode_attention_impl
+        # Write kernels (aliased RMW) follow the prefill attention impl
+        # under 'auto'; the fused READ kernel never does — it is a measured
+        # 6x end-to-end loser at serving geometry (batch-chunked DMA
+        # variant: 4.99 img/s vs 32.3 on XLA's bf16 kLoop fusion, which
+        # already runs at the VPU dequant+matvec floor).  Reads go pallas
+        # only on explicit request (bench A/B, tests).
+        read_impl = cfg.decode_attention_impl
+        decode_impl = read_impl
         if decode_impl == "auto" and cfg.attention_impl in (
                 "pallas", "pallas_interpret"):
             decode_impl = cfg.attention_impl
@@ -217,10 +241,13 @@ class SelfAttention(nn.Module):
                     k_cache, k_new.transpose(0, 1, 3, 2), index)
                 v_cache = update_quant_cache(
                     v_cache, v_new.transpose(0, 1, 3, 2), index)
-            impl = (decode_impl if decode_impl in
+            impl = (read_impl if read_impl in
                     ("pallas", "pallas_interpret") else "jnp")
-            ctx = decode_attention_int8(q, k_cache, v_cache, index,
-                                        impl=impl)
+            ctx = decode_attention_int8(
+                q, k_cache, v_cache, index, impl=impl,
+                bucket_bounds=_length_buckets(
+                    k_cache.q.shape[3], cfg.decode_length_buckets,
+                    cfg.prefix_length))
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
             return self.out_proj(ctx), (k_cache, v_cache)
         k_cache = jax.lax.dynamic_update_slice(

@@ -273,6 +273,13 @@ class TransformerConfig(_Base):
     #                    whole-cache relayout copy per step.  Kept as the
     #                    documented ablation.
     kv_cache_layout: str = "lane"
+    # length-bucketed decode reads (quantized caches, jnp read path): with
+    # n > 1 the cached-attention read dispatches through a lax.switch over
+    # n static prefix-slice lengths, reading only the smallest bucket
+    # covering the current index.  MEASURED LOSER end-to-end (BASELINE.md
+    # round 3: 6.96 vs 32.06 img/s at 256²) — the switch branches break
+    # the scan carry's in-place aliasing.  Kept as a tested ablation.
+    decode_length_buckets: int = 1
 
     def __post_init__(self):
         if self.hidden_dim % self.num_attn_heads:
@@ -293,6 +300,12 @@ class TransformerConfig(_Base):
                 "rudalle_relax requires a floating-point KV cache (its "
                 "masked sigma/max statistics are not defined over the "
                 "quantized cache)")
+        if self.decode_length_buckets < 1:
+            raise ConfigError("decode_length_buckets must be >= 1")
+        if self.decode_length_buckets > 1 and self.decode_ring_tail:
+            raise ConfigError(
+                "decode_length_buckets and decode_ring_tail restructure "
+                "the same cache read; pick one")
         if self.kv_cache_layout not in ("lane", "lane_aliased", "packed"):
             raise ConfigError(
                 f"kv_cache_layout must be lane/lane_aliased/packed, got "

@@ -245,3 +245,66 @@ class TestLaneAliased:
                                 guidance_scale=2.0, top_k=8)
         np.testing.assert_array_equal(np.asarray(toks_al),
                                       np.asarray(toks_lane))
+
+
+class TestLengthBuckets:
+    """Length-bucketed decode reads (VERDICT r3: skip the dead cache tail
+    without splitting the scan carry)."""
+
+    def test_bucket_bound_construction(self):
+        from mas_tpu.models.transformer import _length_buckets
+
+        # prefix excludes useless bounds; last is always t
+        assert _length_buckets(640, 4, prefix=384) == (512, 640)
+        assert _length_buckets(1408, 8, prefix=384) == (
+            512, 640, 768, 896, 1024, 1152, 1280, 1408)
+        # thinning keeps t and stays ascending
+        got = _length_buckets(1408, 4, prefix=384)
+        assert got[-1] == 1408 and list(got) == sorted(set(got))
+        assert len(got) <= 4
+        # degenerate: n=1, or no 128-multiple beyond the prefix
+        assert _length_buckets(1408, 1, prefix=0) == ()
+        assert _length_buckets(128, 4, prefix=64) == ()
+
+    @pytest.mark.parametrize("index", [70, 200, 310])
+    def test_op_parity_vs_full_read(self, index):
+        from mas_tpu.ops.quant import decode_attention_int8, quantize_kv
+
+        q, k, v = _rand_kv(seed=3, t=320)
+        kc = quantize_kv(k.transpose(0, 1, 3, 2))
+        vc = quantize_kv(v.transpose(0, 1, 3, 2))
+        idx = jnp.int32(index)
+        full = decode_attention_int8(q, kc, vc, idx)
+        bucketed = decode_attention_int8(q, kc, vc, idx,
+                                         bucket_bounds=(128, 256, 320))
+        np.testing.assert_allclose(np.asarray(bucketed), np.asarray(full),
+                                   atol=1e-6)
+
+    def test_sampler_identical_tokens(self):
+        from mas_tpu.models.sampler import sample_tokens
+        from mas_tpu.models.transformer import MakeAScene
+        from mas_tpu.utils.config import TransformerConfig
+
+        base = dict(_BASE, image_tokens_per_dim=16)       # total 320
+        cfg1 = TransformerConfig(**base, kv_cache_dtype="int4")
+        cfgb = TransformerConfig(**base, kv_cache_dtype="int4",
+                                 decode_length_buckets=3)
+        rng = jax.random.PRNGKey(0)
+        text = jax.random.randint(rng, (2, 48), 1, 100)
+        seg = jax.random.randint(rng, (2, 16), 0, 128)
+        m = MakeAScene(cfg1)
+        variables = m.init(jax.random.PRNGKey(1), text, seg,
+                           jnp.zeros((2, 256), jnp.int32))
+        toks1 = sample_tokens(m, variables, text, seg, jax.random.PRNGKey(2),
+                              guidance_scale=2.0, top_k=8)
+        toksb = sample_tokens(MakeAScene(cfgb), variables, text, seg,
+                              jax.random.PRNGKey(2),
+                              guidance_scale=2.0, top_k=8)
+        np.testing.assert_array_equal(np.asarray(toksb), np.asarray(toks1))
+
+    def test_config_rejects_ring_tail_combo(self):
+        from mas_tpu.utils.config import ConfigError, TransformerConfig
+
+        with pytest.raises(ConfigError):
+            TransformerConfig(**_BASE, kv_cache_dtype="int8",
+                              decode_length_buckets=2, decode_ring_tail=True)
