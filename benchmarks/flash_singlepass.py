@@ -51,12 +51,17 @@ def main():
         # blk_k sits in sublane position of the k/v blocks (8-divisible is
         # enough; score-tile lanes pad to the next 128 internally)
         half = t // 2 if (t // 2) % 8 == 0 else t
-        cfgs = [(128, t), (128, half), (256, half), (128, 128)]
+        # band=True re-runs the single-pass config through the band-split
+        # drivers (attention.BAND_SPLIT opt-in; see _band_ok docstring)
+        cfgs = [(128, t, False), (128, t, True), (128, half, False),
+                (256, half, False), (128, 128, False)]
         seen = set()
         cfgs = [c for c in cfgs
                 if t % c[0] == 0 and t % c[1] == 0
                 and not (c in seen or seen.add(c))]
-        for blk_q, blk_k in cfgs:
+        for blk_q, blk_k, band in cfgs:
+            import mas_tpu.ops.attention as A
+            A.BAND_SPLIT = band
             @jax.jit
             def fwd_scan(q, k, v, bq=blk_q, bk=blk_k):
                 def body(c, _):
@@ -82,9 +87,11 @@ def main():
             vis = (PREFIX * PREFIX + (t * t - PREFIX * PREFIX
                                       + t - PREFIX) / 2) / (t * t)
             fwd_tf = 2 * 2 * B * H * t * t * D * vis / 1e12
-            print(f"T={t} blk=({blk_q},{blk_k}): fwd {fwd_ms:6.2f} ms/layer "
-                  f"({fwd_tf / fwd_ms * 1e3:5.1f} TF/s vis) "
+            tag = " banded" if band else ""
+            print(f"T={t} blk=({blk_q},{blk_k}){tag}: fwd {fwd_ms:6.2f} "
+                  f"ms/layer ({fwd_tf / fwd_ms * 1e3:5.1f} TF/s vis) "
                   f"fwd+bwd {full_ms:6.2f} ms/layer", flush=True)
+            A.BAND_SPLIT = False
 
 
 if __name__ == "__main__":

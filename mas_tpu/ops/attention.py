@@ -93,25 +93,29 @@ def prefix_causal_attention_jnp(q, k, v, prefix_length: int):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _row_bound(qi, blk_q, prefix_length):
+def _row_bound(qi, blk_q, prefix_length, q_offset=0):
     """Per-row visible-length bound [blk_q, 1]: the prefix-bidirectional
     causal mask is always a CONTIGUOUS span [0, bound) — prefix rows see
     [0, prefix), causal rows [0, qpos+1) — so one lane-iota compare
     replaces the 2-iota/3-op boolean tile (a ~4-VPU-pass saving per score
-    tile, material because the fwd kernel is VPU-bound at d=64)."""
-    qpos = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
+    tile, material because the fwd kernel is VPU-bound at d=64).
+    ``q_offset``: absolute position of this call's first q row (band-split
+    calls slice q outside the kernel)."""
+    qpos = (q_offset + qi * blk_q
+            + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0))
     return jnp.where(qpos < prefix_length, prefix_length, qpos + 1)
 
 
-def _mask_tile(qi, kj, blk_q, blk_k, prefix_length):
+def _mask_tile(qi, kj, blk_q, blk_k, prefix_length, q_offset=0,
+               k_offset=0):
     """Boolean [blk_q, blk_k] visibility tile for q-block qi, k-block kj."""
-    kpos = kj * blk_k + jax.lax.broadcasted_iota(
-        jnp.int32, (blk_q, blk_k), 1)
-    return kpos < _row_bound(qi, blk_q, prefix_length)
+    kpos = (k_offset + kj * blk_k
+            + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1))
+    return kpos < _row_bound(qi, blk_q, prefix_length, q_offset)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk_q, blk_k,
-                prefix_length, t_kv, scale):
+                prefix_length, t_kv, scale, q_offset=0):
     from jax.experimental import pallas as pl
 
     qi = pl.program_id(1)
@@ -128,8 +132,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk_q, blk_k,
             q, k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [blk_q, t] f32
         kpos = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
-        s = jnp.where(kpos < _row_bound(qi, blk_q, prefix_length), s,
-                      _NEG_INF)
+        s = jnp.where(
+            kpos < _row_bound(qi, blk_q, prefix_length, q_offset), s,
+            _NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
@@ -148,7 +153,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk_q, blk_k,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [blk_q, blk_k] f32
-        mask = _mask_tile(qi, kj, blk_q, blk_k, prefix_length)
+        mask = _mask_tile(qi, kj, blk_q, blk_k, prefix_length, q_offset)
         s = jnp.where(mask, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -165,8 +170,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, blk_q, blk_k,
     # The prefix block boundary: ceil(prefix/blk_k). Upper bound for the
     # loop = max(causal bound, prefix bound when this q-block intersects
     # the prefix).
-    causal_hi = jnp.minimum((qi * blk_q + blk_q - 1) // blk_k + 1, nk)
-    prefix_hi = jnp.where(qi * blk_q < prefix_length,
+    causal_hi = jnp.minimum(
+        (q_offset + qi * blk_q + blk_q - 1) // blk_k + 1, nk)
+    prefix_hi = jnp.where(q_offset + qi * blk_q < prefix_length,
                           (prefix_length + blk_k - 1) // blk_k, 0)
     hi = jnp.maximum(causal_hi, prefix_hi)
 
@@ -231,12 +237,123 @@ def _flash_fwd(q, k, v, prefix_length: int, blk_q: int, blk_k: int,
 
 
 # ---------------------------------------------------------------------------
+# band-split drivers: static per-band k-extents
+# ---------------------------------------------------------------------------
+
+def band_plan(t: int, blk_q: int, prefix_length: int) -> list:
+    """[(q_start, q_len, k_len)] bands with STATIC k-extents.
+
+    The prefix-bidirectional mask makes every row's visible span
+    [0, bound) with bound <= max(prefix, q_block_end) — so q-blocks fully
+    inside the prefix need only k[:prefix], and causal q-block i needs
+    only k[:(i+1)*blk_q].  Running the single-pass kernel once per band
+    (consecutive prefix blocks merged) skips the dead tail with zero
+    recurrence and zero dynamic shapes: 57% of the full-row score work at
+    the 1408/384 flagship geometry, 72% at 640/384.
+
+    MEASURED (benchmarks/flash_singlepass.py, v5e): the 43% compute
+    saving is almost exactly consumed by the per-band k/v window
+    re-fetches (bands read overlapping k[:klen] prefixes — ~6x the k/v
+    HBM traffic of one whole-row pass) plus 9x kernel launches: fwd+bwd
+    6.90 vs 7.15 ms/layer at T=1408 (3.5% win), 3.12 vs 3.06 at T=640
+    (wash).  Banding therefore engages only at t >= 1024.  An XLA-sliced
+    operand variant (no index-map windows) was 1.5x WORSE than no
+    banding at all — pallas operand materialization dominates."""
+    n_pref = prefix_length // blk_q
+    plan = []
+    if n_pref:
+        plan.append((0, n_pref * blk_q, prefix_length))
+    for i in range(n_pref, t // blk_q):
+        plan.append((i * blk_q, blk_q, (i + 1) * blk_q))
+    return plan
+
+
+def _band_ok(t: int, blk_q: int, blk_k: int, prefix_length: int) -> bool:
+    """Band split is legal in the single-pass regime when the prefix is
+    q-block aligned — every band's q-offset and k-window offset is then
+    an integer number of blocks, so the per-band pallas calls address
+    their windows through BlockSpec index maps on the FULL arrays (zero
+    input copies; an XLA-sliced variant was measured 1.5x SLOWER than no
+    banding at all — the operand materialization ate the saving)."""
+    return (BAND_SPLIT and blk_k == t and t % blk_q == 0 and t >= 1024
+            and 0 < prefix_length < t and prefix_length % blk_q == 0)
+
+
+# Band splitting is an explicit OPT-IN ablation: the measured end-to-end
+# win is ~3.5% of attention fwd+bwd at T=1408 (a wash at 640), but the
+# per-geometry compile goes from 3 pallas kernels to 27 and blew a 95 s
+# train-step compile past 15 MINUTES on the axon toolchain.  Not worth it
+# as a default; flip for experiments (benchmarks/flash_singlepass.py).
+BAND_SPLIT = False
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "prefix_length", "blk_q", "interpret"))
+def _flash_fwd_banded(q, k, v, prefix_length: int, blk_q: int,
+                      interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, t, d = q.shape
+    bh = b * h
+    qf = q.reshape(bh, t, d)
+    kf = k.reshape(bh, t, d)
+    vf = v.reshape(bh, t, d)
+    scale = 1.0 / math.sqrt(d)
+
+    outs, lses = [], []
+    for qs, qlen, klen in band_plan(t, blk_q, prefix_length):
+        kernel = functools.partial(
+            _fwd_kernel, blk_q=blk_q, blk_k=klen,
+            prefix_length=prefix_length, t_kv=klen, scale=scale,
+            q_offset=qs)
+        qb = qs // blk_q
+        # windows are addressed through index maps on the FULL arrays —
+        # no operand slicing, no copies
+        out, lse = pl.pallas_call(
+            kernel,
+            grid=(bh, qlen // blk_q),
+            in_specs=[
+                pl.BlockSpec((1, blk_q, d),
+                             lambda i, j, qb=qb: (i, j + qb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, klen, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, klen, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, blk_q), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, qlen, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, 1, qlen), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * bh * qlen * klen * d,
+                transcendentals=bh * qlen * klen,
+                bytes_accessed=(2 * bh * klen * d + 2 * bh * qlen * d) * 4),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(qf, kf, vf)
+        outs.append(out)
+        lses.append(lse)
+    out = jnp.concatenate(outs, axis=1)
+    lse = jnp.concatenate(lses, axis=2)
+    return out.reshape(b, h, t, d), lse.reshape(b, h, t)
+
+
+# ---------------------------------------------------------------------------
 # backward kernels
 # ---------------------------------------------------------------------------
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                     dk_ref, dv_ref, *, blk_q, blk_k, prefix_length, t_q,
-                    scale):
+                    scale, q_offset=0, k_offset=0):
     """One k-block against all q-blocks: accumulate dK, dV."""
     from jax.experimental import pallas as pl
 
@@ -254,7 +371,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [blk_q, blk_k]
-        mask = _mask_tile(qi, kj, blk_q, blk_k, prefix_length)
+        mask = _mask_tile(qi, kj, blk_q, blk_k, prefix_length, q_offset,
+                          k_offset)
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
         # delta_i = sum_d do * o  (rowwise)
         delta = jnp.sum(do * o, axis=1, keepdims=True)   # [blk_q, 1]
@@ -270,11 +388,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             preferred_element_type=jnp.float32)          # [blk_k, d]
         return dk, dv
 
-    # q-blocks that can see this k-block: qi*blk_q+blk_q-1 >= kj*blk_k,
-    # i.e. qi >= (kj*blk_k - blk_q + 1)/blk_q; prefix rows see all prefix
-    # k-blocks, so if this k-block intersects the prefix start from 0.
-    lo_causal = jnp.maximum((kj * blk_k) // blk_q, 0)
-    lo = jnp.where(kj * blk_k < prefix_length, 0, lo_causal)
+    # q-blocks that can see this k-block: qpos >= k start (causal), or any
+    # row when the k-block intersects the prefix.  Positions are absolute;
+    # band-split calls pre-slice q, so local block = (abs - q_offset)/blk_q.
+    k_abs = k_offset + kj * blk_k
+    lo_causal = jnp.maximum(k_abs - q_offset, 0) // blk_q
+    lo = jnp.where(k_abs < prefix_length, 0, lo_causal)
     d = q_ref.shape[-1]
     dk0 = jnp.zeros((blk_k, d), jnp.float32)
     dv0 = jnp.zeros((blk_k, d), jnp.float32)
@@ -285,7 +404,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, *,
-                   blk_q, blk_k, prefix_length, t_kv, scale):
+                   blk_q, blk_k, prefix_length, t_kv, scale, q_offset=0):
     """One q-block against its visible k-blocks: dQ."""
     from jax.experimental import pallas as pl
 
@@ -303,7 +422,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, *,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        mask = _mask_tile(qi, kj, blk_q, blk_k, prefix_length)
+        mask = _mask_tile(qi, kj, blk_q, blk_k, prefix_length, q_offset)
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -313,8 +432,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, *,
             ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    causal_hi = jnp.minimum((qi * blk_q + blk_q - 1) // blk_k + 1, nk)
-    prefix_hi = jnp.where(qi * blk_q < prefix_length,
+    causal_hi = jnp.minimum(
+        (q_offset + qi * blk_q + blk_q - 1) // blk_k + 1, nk)
+    prefix_hi = jnp.where(q_offset + qi * blk_q < prefix_length,
                           (prefix_length + blk_k - 1) // blk_k, 0)
     hi = jnp.maximum(causal_hi, prefix_hi)
     dq0 = jnp.zeros((blk_q, q_ref.shape[-1]), jnp.float32)
@@ -397,6 +517,108 @@ def _flash_bwd(q, k, v, out, lse, do, prefix_length: int, blk_q: int,
     return unrs(dq), unrs(dk), unrs(dv)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "prefix_length", "blk_q", "interpret"))
+def _flash_bwd_banded(q, k, v, out, lse, do, prefix_length: int,
+                      blk_q: int, interpret: bool = False):
+    """Band-split backward: dQ follows the forward's q-bands (static
+    k[:k_len] per band); dK/dV band by K —  the prefix k-range is visible
+    to every row, causal k-block j only to rows >= j*blk_q, so each call
+    pre-slices q/do/o/lse to the visible suffix.  Same 57%-of-full-row
+    work as the forward, all extents static."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, t, d = q.shape
+    bh = b * h
+    rs = lambda x: x.reshape(bh, t, d)
+    qf, kf, vf, of, dof = rs(q), rs(k), rs(v), rs(out), rs(do)
+    lsef = lse.reshape(bh, 1, t)
+    scale = 1.0 / math.sqrt(d)
+
+    def qspec(n):
+        return pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    # ---- dQ: forward bands, windows via index maps (no copies) ----
+    dqs = []
+    for qs, qlen, klen in band_plan(t, blk_q, prefix_length):
+        kernel = functools.partial(
+            _bwd_dq_kernel, blk_q=blk_q, blk_k=klen,
+            prefix_length=prefix_length, t_kv=klen, scale=scale,
+            q_offset=qs)
+        qb = qs // blk_q
+        qwin = pl.BlockSpec((1, blk_q, d),
+                            lambda i, j, qb=qb: (i, j + qb, 0),
+                            memory_space=pltpu.VMEM)
+        dq = pl.pallas_call(
+            kernel,
+            grid=(bh, qlen // blk_q),
+            in_specs=[qwin, qspec(klen), qspec(klen), qwin, qwin,
+                      pl.BlockSpec((1, 1, blk_q),
+                                   lambda i, j, qb=qb: (i, 0, j + qb),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, qlen, d), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=5 * bh * qlen * klen * d,
+                transcendentals=bh * qlen * klen,
+                bytes_accessed=5 * bh * qlen * d * 4),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(qf, kf, vf, dof, of, lsef)
+        dqs.append(dq)
+    dq = jnp.concatenate(dqs, axis=1)
+
+    # ---- dK/dV: k-bands [0, prefix) + one causal block at a time; the
+    # q side stays FULL (the kernel's lo bound skips invisible q-blocks),
+    # the k/v windows go through index maps ----
+    kbands = [(0, prefix_length)]               # (k_start, k_len)
+    kbands += [(ks, blk_q) for ks in range(prefix_length, t, blk_q)]
+    qfull = pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dks, dvs = [], []
+    for ks, klen in kbands:
+        kernel = functools.partial(
+            _bwd_dkv_kernel, blk_q=blk_q, blk_k=klen,
+            prefix_length=prefix_length, t_q=t, scale=scale,
+            q_offset=0, k_offset=ks)
+        kb = ks // klen
+        kwin = pl.BlockSpec((1, klen, d),
+                            lambda i, j, kb=kb: (i, kb, 0),
+                            memory_space=pltpu.VMEM)
+        qvis = t - ks if ks else t
+        dk, dv = pl.pallas_call(
+            kernel,
+            grid=(bh, 1),
+            in_specs=[qfull, kwin, kwin, qfull, qfull,
+                      pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((1, klen, d), lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, klen, d), lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((bh, klen, d), q.dtype),
+                       jax.ShapeDtypeStruct((bh, klen, d), q.dtype)],
+            cost_estimate=pl.CostEstimate(
+                flops=8 * bh * qvis * klen * d,
+                transcendentals=bh * qvis * klen,
+                bytes_accessed=(4 * bh * qvis * d + 2 * bh * klen * d) * 4),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(qf, kf, vf, dof, of, lsef)
+        dks.append(dk)
+        dvs.append(dv)
+    dk = jnp.concatenate(dks, axis=1)
+    dv = jnp.concatenate(dvs, axis=1)
+
+    unrs = lambda x: x.reshape(b, h, t, d)
+    return unrs(dq), unrs(dk), unrs(dv)
+
+
 # ---------------------------------------------------------------------------
 # public API with custom VJP
 # ---------------------------------------------------------------------------
@@ -411,19 +633,28 @@ def flash_attention(q, k, v, prefix_length: int,
     q, k, v: [B, H, T, d]; T must divide by the block sizes (the model's
     1408 = 11 x 128 does).  Returns [B, H, T, d] in q's dtype.
     """
-    out, _ = _flash_fwd(q, k, v, prefix_length, blk_q, blk_k, interpret)
+    out, _ = _fa_fwd(q, k, v, prefix_length, blk_q, blk_k, interpret)
     return out
 
 
 def _fa_fwd(q, k, v, prefix_length, blk_q, blk_k, interpret):
-    out, lse = _flash_fwd(q, k, v, prefix_length, blk_q, blk_k, interpret)
+    if _band_ok(q.shape[2], blk_q, blk_k, prefix_length):
+        out, lse = _flash_fwd_banded(q, k, v, prefix_length, blk_q,
+                                     interpret)
+    else:
+        out, lse = _flash_fwd(q, k, v, prefix_length, blk_q, blk_k,
+                              interpret)
     return out, (q, k, v, out, lse)
 
 
 def _fa_bwd(prefix_length, blk_q, blk_k, interpret, res, g):
     q, k, v, out, lse = res
-    dq, dk, dv = _flash_bwd(q, k, v, out, lse, g, prefix_length, blk_q,
-                            blk_k, interpret)
+    if _band_ok(q.shape[2], blk_q, blk_k, prefix_length):
+        dq, dk, dv = _flash_bwd_banded(q, k, v, out, lse, g,
+                                       prefix_length, blk_q, interpret)
+    else:
+        dq, dk, dv = _flash_bwd(q, k, v, out, lse, g, prefix_length,
+                                blk_q, blk_k, interpret)
     return dq, dk, dv
 
 

@@ -307,3 +307,56 @@ class TestRudalleFused:
                                 num_attn_heads=2, rudalle_relax=True,
                                 attention_impl="pallas")
         assert cfg.rudalle_relax
+
+
+class TestBandSplit:
+    """Band-split single-pass path (static per-band k-extents,
+    index-map windows): engages when blk_k == t and prefix % blk_q == 0."""
+
+    def test_band_plan(self):
+        from mas_tpu.ops import attention as A
+
+        assert A.band_plan(1408, 128, 384) == (
+            [(0, 384, 384)]
+            + [(s, 128, s + 128) for s in range(384, 1408, 128)])
+        assert not A._band_ok(1408, 128, 1408, 384)  # opt-in: default off
+        old = A.BAND_SPLIT
+        A.BAND_SPLIT = True
+        try:
+            assert A._band_ok(1408, 128, 1408, 384)
+            assert not A._band_ok(1408, 128, 128, 384)   # multi-block
+            assert not A._band_ok(1408, 128, 1408, 100)  # unaligned prefix
+            assert not A._band_ok(1408, 128, 1408, 0)    # no prefix
+            assert not A._band_ok(640, 128, 640, 384)    # below the t gate
+        finally:
+            A.BAND_SPLIT = old
+
+    @pytest.mark.parametrize("prefix", [128, 256])
+    def test_forward_matches_jnp(self, prefix):
+        from mas_tpu.ops.attention import _flash_fwd_banded
+
+        q, k, v = _rand(t=384)
+        ref = prefix_causal_attention_jnp(q, k, v, prefix)
+        out, lse = _flash_fwd_banded(q, k, v, prefix, 128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        assert np.all(np.isfinite(np.asarray(lse)))
+
+    @pytest.mark.parametrize("prefix", [128, 256])
+    def test_backward_matches_jnp(self, prefix):
+        from mas_tpu.ops.attention import (_flash_bwd_banded,
+                                           _flash_fwd_banded)
+
+        q, k, v = _rand(t=384, h=1)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(prefix_causal_attention_jnp(q, k, v, prefix) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        out, lse = _flash_fwd_banded(q, k, v, prefix, 128, interpret=True)
+        g_banded = _flash_bwd_banded(q, k, v, out, lse, 2.0 * out, prefix,
+                                     128, interpret=True)
+        for a, b, name in zip(g_banded, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4,
+                                       err_msg=f"d{name}")
