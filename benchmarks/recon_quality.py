@@ -77,21 +77,35 @@ def record(stage: str, metrics: dict) -> None:
 
 TRAIN_CACHE = 512   # pre-generated scene pool for the training streams
 
+# VQ-SEG is a fixed 256² pipeline regardless of --res: the reference
+# tokenizes 256² seg maps into 16² tokens even for 512² images (the AR
+# geometry keeps seg_tokens_per_dim=16 at both image resolutions), so
+# the 512² run reuses the 256² seg checkpoint and nearest-subsamples the
+# aligned label maps for conditioning (exact for labels).
+SEG_RES = 256
 
-def train_scenes(seed=0, compact=False, batch=None):
+
+def sub_seg(packed):
+    """Packed int16 label map [B, r, r, 4] -> SEG_RES² by nearest."""
+    f = RES // SEG_RES
+    return packed if f == 1 else packed[:, ::f, ::f]
+
+
+def train_scenes(seed=0, compact=False, batch=None, res=None):
     """Cached + prefetched scene stream (fresh generation starves the
     chip: 8.4 s/batch at 256² vs 160 ms steps; compact=True additionally
     ships packed int16 labels instead of the 41 MB/sample one-hot —
     host->device transfer through the tunnel starved the chip too)."""
     from mas_tpu.data.prefetch import prefetch
-    return prefetch(StructuredSceneBatches(batch or BATCH, RES, seed=seed,
+    return prefetch(StructuredSceneBatches(batch or BATCH, res or RES,
+                                           seed=seed,
                                            cache_scenes=TRAIN_CACHE,
                                            compact=compact),
                     size=4)
 
 
 def seg_batches(seed=0):
-    for b in train_scenes(seed=seed, compact=True):
+    for b in train_scenes(seed=seed, compact=True, res=SEG_RES):
         yield {"seg_packed": b["seg_packed"]}
 
 
@@ -284,8 +298,12 @@ def restore_vq(name: str, mcfg, with_disc: bool = False):
                                   jax.random.PRNGKey(0), disc_model=disc,
                                   disc_tx=make_adam(OPT) if with_disc
                                   else None)
+    cfg1 = train_cfg(name, 1, mode="pretrain_segmentation")
+    if name == "seg" and RES != SEG_RES:
+        # the seg pipeline is 256²-only; 512² runs reuse its checkpoint
+        cfg1 = cfg1.replace(checkpoint_dir="/tmp/recon_q/seg")
     state = _maybe_resume(
-        train_cfg(name, 1, mode="pretrain_segmentation").replace(resume=True),
+        cfg1.replace(resume=True),
         state)
     assert int(state.step) > 0, f"train stage '{name}' first"
     return model, {"params": state.params, "batch_stats": state.batch_stats}
@@ -327,8 +345,8 @@ def stage_ar(steps: int = 4000):
         for _ in range(TRAIN_CACHE // AR_BATCH):
             batch = next(src)
             texts.append(scene_text_tokens(batch))
-            segs.append(np.asarray(seg_enc(jnp.asarray(
-                batch["seg_packed"]))).reshape(AR_BATCH, -1))
+            segs.append(np.asarray(seg_enc(jnp.asarray(sub_seg(
+                batch["seg_packed"])))).reshape(AR_BATCH, -1))
             imgs.append(np.asarray(img_enc(jnp.asarray(
                 batch["image"]))).reshape(AR_BATCH, -1))
         texts = np.concatenate(texts)
@@ -370,7 +388,7 @@ def stage_ar(steps: int = 4000):
                                                 seed=2026 + c,
                                                 compact=True)))
         text = jnp.asarray(scene_text_tokens(held))
-        seg_t = seg_enc(jnp.asarray(held["seg_packed"])).reshape(
+        seg_t = seg_enc(jnp.asarray(sub_seg(held["seg_packed"]))).reshape(
             AR_BATCH, -1)
         samples = {}
         for kv in kvs:
@@ -447,7 +465,11 @@ def main():
     CKPT = args.ckpt or ("/tmp/recon_q" if RES == 256
                          else f"/tmp/recon_q_{RES}")
     if args.stage in ("seg", "all"):
-        stage_seg(args.steps_seg)
+        if RES == SEG_RES:
+            stage_seg(args.steps_seg)
+        else:
+            print("seg stage is 256²-only (16² tokens either way); "
+                  "reusing /tmp/recon_q/seg", flush=True)
     if args.stage in ("img", "all"):
         stage_img(args.steps_img, args.disc_start)
     if args.stage in ("ar", "all"):
