@@ -246,3 +246,18 @@ def test_sample_logits_topk_distribution():
     probs /= probs.sum()
     emp = counts[[1, 2, 3]] / counts.sum()
     np.testing.assert_allclose(emp, probs, atol=0.03)
+
+
+def test_sample_logits_approx_head_within_topk():
+    """The serving default (approx=True, lax.approx_max_k) must stay
+    inside a clearly separated true top-k set and hit every member."""
+    from mas_tpu.models.sampler import _sample_logits
+
+    # top-3 separated from the rest by a wide margin
+    logits = jnp.array([[9.0, -50.0, 10.0, -50.0, 8.5, -50.0]])
+    keys = jax.random.split(jax.random.PRNGKey(1), 2000)
+    toks = np.asarray(jax.vmap(
+        lambda k: _sample_logits(logits, k, 1.0, 3, approx=True))(keys))
+    counts = np.bincount(toks.ravel(), minlength=6)
+    assert counts[1] == counts[3] == counts[5] == 0
+    assert (counts[[0, 2, 4]] > 0).all()
