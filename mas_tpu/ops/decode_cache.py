@@ -1,14 +1,13 @@
-"""Aliased in-place KV-cache writes for AR decode (the round-2 bottleneck).
+"""Aliased in-place KV-cache writes for AR decode (round-2/3 ablations).
 
-MEASURED (BASELINE.md round-2 ablation, v5e, B=128, H=16, d=64, T=640):
-the int8 cache *read* is bandwidth-perfect (0.214 ms/layer-token) but the
-``dynamic_update_slice`` cache *write* adds +0.41 ms — XLA materializes a
-whole-cache carry copy per scan step because the updated buffer is also
-consumed by the attention einsum inside the same iteration.  Four
-structural variants (select-mask, ring tail, segmented growth, fused read
-kernel) all lost end-to-end; the remaining fix is to make the WRITE an
-explicitly aliased in-place Pallas op and leave XLA's overlapped einsum
-read path alone.
+POSTMORTEM: the round-2 isolated ablation attributed +0.41 ms/layer-token
+to a DUS "whole-cache carry copy"; round-3 trace attribution over the
+REAL sampler (``benchmarks/decode_trace.py``, BASELINE.md round 3) shows
+XLA in-places the DUS writes — ALL carry copies together are 5.5% of
+token time, and both aliased write kernels below LOSE end-to-end
+(lane_aliased 10.1, packed 8.8 vs 31.9 img/s): the strided RMW DMAs are
+latency-bound.  Kept as measured, tested ablations; the shipped default
+is the plain 'lane' DUS layout.
 
 Layout is dictated by TPU HBM tiling: arrays are (8, 128)-tiled on the
 last two dims, DMA slices must be 8-aligned in sublanes / 128-aligned in

@@ -258,9 +258,12 @@ class TransformerConfig(_Base):
     decode_ring_tail: bool = False
     # quantized-cache memory layout + write path for decode:
     #   'lane'         — k and v in separate [B, H, hd, T] buffers (sequence
-    #                    in lanes), written via dynamic_update_slice: XLA
-    #                    materializes a whole-cache carry copy per scan step
-    #                    (+0.41 ms/layer-token, BASELINE.md round-2 ablation);
+    #                    in lanes), written via dynamic_update_slice.  The
+    #                    round-2 "whole-cache carry copy per step" theory is
+    #                    DEAD: trace attribution (benchmarks/decode_trace.py,
+    #                    BASELINE round 3) shows XLA in-places the DUS writes
+    #                    (all carry copies = 5.5% of token time) — this is
+    #                    the measured-best default;
     #   'lane_aliased' — same buffers and same (bandwidth-perfect,
     #                    XLA-overlapped) read path, but the write is an
     #                    input_output_aliased Pallas RMW of the 128-lane
