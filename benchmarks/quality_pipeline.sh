@@ -1,0 +1,32 @@
+#!/bin/bash
+# Unattended measured-quality pipeline (the BASELINE.md competence schedule).
+#
+# Runs each recon_quality.py stage as its own process so the axon client's
+# leaked host->device staging buffers (see benchmarks/recon_quality.py
+# docstring) are reclaimed between stages, then the 512^2 serving bench.
+# Every stage appends its metrics to results/recon_quality.json on
+# completion, so a partial run still records finished stages.
+#
+# Usage:  bash benchmarks/quality_pipeline.sh [logdir]   (default /tmp)
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp}
+
+run() {  # run <tag> <cmd...>
+  tag=$1; shift
+  echo "start $tag $(date)"
+  timeout 7000 "$@" > "$LOG/${tag}_run.log" 2>&1
+  echo "done $tag exit=$? $(date)"
+}
+
+# 256^2 competence schedule (~3 h total on one v5e chip)
+run seg      python -u benchmarks/recon_quality.py seg --pool 16384 --steps-seg 12000
+run img      python -u benchmarks/recon_quality.py img --pool 16384 --steps-img 12000
+run ar       python -u benchmarks/recon_quality.py ar  --pool 16384 --steps-ar 20000 --ar-eval-prompts 128
+run bench512 python -u bench.py --resolution 512
+
+# 512^2 rows (shorter demonstration schedule; seg is 256^2-only by design —
+# the 512^2 stages reuse /tmp/recon_q/seg, see recon_quality.py:80-91)
+run img512   python -u benchmarks/recon_quality.py img --res 512 --pool 4096 --steps-img 4000
+run ar512    python -u benchmarks/recon_quality.py ar  --res 512 --pool 4096 --steps-ar 6000 --ar-eval-prompts 32
+echo "quality pipeline complete $(date)"
