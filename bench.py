@@ -34,7 +34,7 @@ def log(*a):
 def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
                    kv_cache_dtype: str = "int4", cache_segment: int = 0,
                    ring: bool = False, kv_layout: str = "lane",
-                   buckets: int = 1):
+                   buckets: int = 1, kv_scale_dtype: str = "float32"):
     from mas_tpu.models.sampler import sample_tokens
     from mas_tpu.models.transformer import MakeAScene
     from mas_tpu.models.vqvae import VQModel
@@ -54,7 +54,8 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
                                          # vs 24.6 int8 at 256^2 (BASELINE.md;
                                          # sample-FID parity measured)
         decode_attention_impl=decode_impl, decode_ring_tail=ring,
-        kv_cache_layout=kv_layout, decode_length_buckets=buckets)
+        kv_cache_layout=kv_layout, decode_length_buckets=buckets,
+        kv_scale_dtype=kv_scale_dtype)
     vcfg = VQModelConfig(
         in_channels=3, out_channels=3, resolution=resolution,
         attn_resolutions=(resolution // 16,), compute_dtype="bfloat16",
@@ -113,9 +114,10 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
 
 def run(batches, iters, resolution=256, decode_impl="auto",
         kv_cache_dtype="int4", cache_segment=0, ring=False,
-        kv_layout="lane", buckets=1):
+        kv_layout="lane", buckets=1, kv_scale_dtype="float32"):
     pipeline, tcfg = build_pipeline(resolution, decode_impl, kv_cache_dtype,
-                                    cache_segment, ring, kv_layout, buckets)
+                                    cache_segment, ring, kv_layout, buckets,
+                                    kv_scale_dtype)
     best = 0.0
     best_batch = 0
     for b in batches:
@@ -169,6 +171,11 @@ def main():
     ap.add_argument("--decode-buckets", type=int, default=1,
                     help="length-bucketed decode reads: lax.switch over N "
                          "static cache prefix slices (1 = whole cache)")
+    ap.add_argument("--kv-scale-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="storage dtype of the quantized cache's "
+                         "per-position scales (bfloat16 trims ~6% off the "
+                         "dominant cache-read stream)")
     ap.add_argument("--kv-layout", default="lane",
                     choices=("lane", "lane_aliased", "packed"),
                     help="quantized-cache layout/write path "
@@ -199,7 +206,7 @@ def main():
     best, best_batch = run(batches, iters, args.resolution,
                            args.decode_impl, args.kv_cache,
                            args.cache_segment, args.ring, args.kv_layout,
-                           args.decode_buckets)
+                           args.decode_buckets, args.kv_scale_dtype)
 
     from benchmarks.torch_baseline import get_baseline
     base = get_baseline(resolution=args.resolution)

@@ -12,12 +12,17 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp}
 
-run() {  # run <tag> <cmd...>
+run() {  # run <tag> <cmd...>   (per-stage cap via STAGE_TIMEOUT)
   tag=$1; shift
   echo "start $tag $(date)"
-  timeout 7000 "$@" > "$LOG/${tag}_run.log" 2>&1
+  timeout "${STAGE_TIMEOUT:-7000}" "$@" > "$LOG/${tag}_run.log" 2>&1
   echo "done $tag exit=$? $(date)"
 }
+
+# quick decode A/B first (cache-warm ~5 min each): bf16 KV scales vs the
+# fp32-scale shipped default at the headline geometry
+run bench_s16  python -u bench.py --quick --kv-scale-dtype bfloat16
+run bench_s32  python -u bench.py --quick
 
 # 256^2 competence schedule (~3 h total on one v5e chip)
 run seg      python -u benchmarks/recon_quality.py seg --pool 16384 --steps-seg 12000
@@ -27,6 +32,10 @@ run bench512 python -u bench.py --resolution 512
 
 # 512^2 rows (shorter demonstration schedule; seg is 256^2-only by design —
 # the 512^2 stages reuse /tmp/recon_q/seg, see recon_quality.py:80-91)
+STAGE_TIMEOUT=9500 \
 run img512   python -u benchmarks/recon_quality.py img --res 512 --pool 4096 --steps-img 4000
 run ar512    python -u benchmarks/recon_quality.py ar  --res 512 --pool 4096 --steps-ar 6000 --ar-eval-prompts 32
+
+# 512^2 scale-dtype A/B (the 1408-token geometry reads 2.2x the cache)
+run bench512_s16 python -u bench.py --resolution 512 --kv-scale-dtype bfloat16
 echo "quality pipeline complete $(date)"

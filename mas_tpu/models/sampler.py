@@ -142,12 +142,15 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
     size0 = plan[0][2]
     if cfg.kv_cache_dtype in ("int8", "int4"):
         qdt = jnp.int4 if cfg.kv_cache_dtype == "int4" else jnp.int8
+        sdt = (jnp.bfloat16 if cfg.kv_scale_dtype == "bfloat16"
+               else jnp.float32)
         q_full = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, size0),
                            qdt)
-        s_full = jnp.ones((bb, cfg.num_attn_heads, 1, size0), jnp.float32)
+        s_full = jnp.ones((bb, cfg.num_attn_heads, 1, size0), sdt)
 
         def seed(kv):
-            qc = quantize_kv(transpose_cache(kv), dtype=qdt)
+            qc = quantize_kv(transpose_cache(kv), dtype=qdt,
+                             scale_dtype=sdt)
             return QuantCache(
                 jax.lax.dynamic_update_slice(q_full, qc.q, (0, 0, 0, 0)),
                 jax.lax.dynamic_update_slice(s_full, qc.scale,

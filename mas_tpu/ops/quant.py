@@ -41,7 +41,7 @@ class QuantCache(NamedTuple):
 
 
 def quantize_kv(kv_t: jax.Array, eps: float = 1e-8,
-                dtype=jnp.int8) -> QuantCache:
+                dtype=jnp.int8, scale_dtype=jnp.float32) -> QuantCache:
     """[B, H, d, T] float -> int8/int4 cache + per-position scales.
 
     int4 (qmax 7) halves the cache read traffic again vs int8 — the decode
@@ -50,17 +50,24 @@ def quantize_kv(kv_t: jax.Array, eps: float = 1e-8,
     NOTE: int4 arrays cannot cross a jit boundary on the axon backend
     (device_put recursion bug) — the sampler creates/consumes them inside
     one jit, which is fine.
+
+    ``scale_dtype=bfloat16`` stores the per-position scales in 2 bytes
+    instead of 4 — the scale stream is 12.5% of the int4 cache read at
+    d=64, so this trims ~6% off decode's dominant HBM stream for ≤0.4%
+    extra scale rounding error (values are quantized against the ROUNDED
+    stored scale, so the int grid stays consistent).
     """
     qmax = 7.0 if dtype == jnp.int4 else 127.0
     f = kv_t.astype(jnp.float32)
     amax = jnp.max(jnp.abs(f), axis=2, keepdims=True)          # [B,H,1,T]
-    scale = jnp.maximum(amax, eps) / qmax
-    q = jnp.clip(jnp.round(f / scale), -qmax, qmax).astype(dtype)
+    scale = (jnp.maximum(amax, eps) / qmax).astype(scale_dtype)
+    q = jnp.clip(jnp.round(f / scale.astype(jnp.float32)),
+                 -qmax, qmax).astype(dtype)
     return QuantCache(q=q, scale=scale)
 
 
 def dequantize_kv(cache: QuantCache) -> jax.Array:
-    return cache.q.astype(jnp.float32) * cache.scale
+    return cache.q.astype(jnp.float32) * cache.scale.astype(jnp.float32)
 
 
 def update_quant_cache(cache: QuantCache, new_t: jax.Array,
@@ -75,7 +82,8 @@ def update_quant_cache(cache: QuantCache, new_t: jax.Array,
     in-place carry aliasing and copies caches wholesale.  Microbenchmarks
     do not transfer here; only end-to-end bench.py numbers decide.
     """
-    qc = quantize_kv(new_t, dtype=cache.q.dtype)
+    qc = quantize_kv(new_t, dtype=cache.q.dtype,
+                     scale_dtype=cache.scale.dtype)
     return QuantCache(
         q=jax.lax.dynamic_update_slice(cache.q, qc.q, (0, 0, 0, index)),
         scale=jax.lax.dynamic_update_slice(cache.scale, qc.scale,
@@ -107,6 +115,7 @@ def decode_attention_int8(q, k_cache: QuantCache, v_cache: QuantCache,
     """
     if (impl in ("pallas", "pallas_interpret")
             and k_cache.q.dtype in (jnp.int8, jnp.int4)
+            and k_cache.scale.dtype == jnp.float32
             and k_cache.q.shape[3] % _INT8_DECODE_BLOCK == 0):
         # jnp fallback only for cache lengths that don't tile the 128-lane
         # DMA block (tiny test geometries)
@@ -151,12 +160,13 @@ def _decode_attention_int8_jnp(q, k_cache: QuantCache,
                    k_cache.q.astype(cd),
                    preferred_element_type=jnp.float32)
     # scales are [B, H, 1, T] — shape-aligned with s [B, H, 1(q), T]
-    s = s * k_cache.scale
+    # (upcast: they may be stored bf16 — kv_scale_dtype)
+    s = s * k_cache.scale.astype(jnp.float32)
     kpos = jnp.arange(k_cache.q.shape[3])
     s = jnp.where((kpos <= index)[None, None, None, :], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     # fold the v scales into the probabilities, then quantized PV matmul
-    pv = p * v_cache.scale
+    pv = p * v_cache.scale.astype(jnp.float32)
     out = jnp.einsum("bhqk,bhdk->bhqd", pv.astype(cd),
                      v_cache.q.astype(cd),
                      preferred_element_type=jnp.float32)

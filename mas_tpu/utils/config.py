@@ -276,6 +276,12 @@ class TransformerConfig(_Base):
     #                    whole-cache relayout copy per step.  Kept as the
     #                    documented ablation.
     kv_cache_layout: str = "lane"
+    # storage dtype of the quantized cache's per-position scales:
+    # 'float32' (exact) or 'bfloat16' (halves the scale stream — 12.5% of
+    # the int4 cache read at d=64 — for <=0.4% extra scale rounding).
+    # Only the measured-default decode path ('lane' layout, no ring tail)
+    # supports bfloat16; the Pallas read/write kernels keep fp32 scales.
+    kv_scale_dtype: str = "float32"
     # length-bucketed decode reads (quantized caches, jnp read path): with
     # n > 1 the cached-attention read dispatches through a lax.switch over
     # n static prefix-slice lengths, reading only the smallest bucket
@@ -305,6 +311,17 @@ class TransformerConfig(_Base):
                 "quantized cache)")
         if self.decode_length_buckets < 1:
             raise ConfigError("decode_length_buckets must be >= 1")
+        if self.kv_scale_dtype not in ("float32", "bfloat16"):
+            raise ConfigError(
+                f"kv_scale_dtype must be float32/bfloat16, got "
+                f"{self.kv_scale_dtype!r}")
+        if self.kv_scale_dtype == "bfloat16" and (
+                self.kv_cache_layout != "lane" or self.decode_ring_tail
+                or self.kv_cache_dtype not in ("int8", "int4")):
+            raise ConfigError(
+                "kv_scale_dtype='bfloat16' is only supported on the "
+                "default quantized decode path (kv_cache_dtype int8/int4, "
+                "kv_cache_layout='lane', no ring tail)")
         if self.decode_length_buckets > 1 and self.decode_ring_tail:
             raise ConfigError(
                 "decode_length_buckets and decode_ring_tail restructure "

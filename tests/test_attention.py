@@ -200,6 +200,40 @@ class TestInt8KVCache:
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        atol=1e-5, rtol=1e-4)
 
+    def test_bf16_scale_quantize_roundtrip(self):
+        """kv_scale_dtype=bfloat16: the int grid is built against the
+        ROUNDED stored scale, so the extra error stays within one bf16
+        ulp of the scale (~0.4%) on top of the int rounding."""
+        from mas_tpu.ops.quant import dequantize_kv, quantize_kv
+
+        kv = jax.random.normal(jax.random.PRNGKey(7), (2, 2, 64, 32))
+        qc = quantize_kv(kv, scale_dtype=jnp.bfloat16)
+        assert qc.scale.dtype == jnp.bfloat16
+        err = np.max(np.abs(np.asarray(dequantize_kv(qc)) - np.asarray(kv)))
+        amax = float(jnp.max(jnp.abs(kv)))
+        assert err <= amax / 254 * 1.01 + 1e-6
+
+    def test_bf16_scale_decode_matches_dequantized_exact(self):
+        from mas_tpu.ops.decode_attention import decode_attention_jnp
+        from mas_tpu.ops.quant import (decode_attention_int8, dequantize_kv,
+                                       quantize_kv, update_quant_cache)
+
+        ks = jax.random.split(jax.random.PRNGKey(8), 3)
+        q = jax.random.normal(ks[0], (2, 2, 1, 64))
+        k_t = jax.random.normal(ks[1], (2, 2, 64, 128))
+        v_t = jax.random.normal(ks[2], (2, 2, 64, 128))
+        kq = quantize_kv(k_t, scale_dtype=jnp.bfloat16)
+        vq = quantize_kv(v_t, scale_dtype=jnp.bfloat16)
+        idx = jnp.int32(100)
+        out = decode_attention_int8(q, kq, vq, idx)
+        ref = decode_attention_jnp(q, dequantize_kv(kq), dequantize_kv(vq),
+                                   idx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+        # cache writes preserve the stored scale dtype
+        upd = update_quant_cache(kq, jnp.ones((2, 2, 64, 1)), jnp.int32(3))
+        assert upd.scale.dtype == jnp.bfloat16
+
     def test_update_quant_cache_write(self):
         from mas_tpu.ops.quant import (dequantize_kv, quantize_kv,
                                        update_quant_cache)
@@ -245,6 +279,41 @@ class TestInt8KVCache:
         # same rng + near-identical logits -> overwhelmingly equal samples
         agree = float(np.mean(np.asarray(toks_q) == np.asarray(toks_fp)))
         assert agree > 0.8, agree
+
+    def test_sampler_with_bf16_scales(self):
+        """kv_scale_dtype=bfloat16 end-to-end: the sampler seeds/writes
+        bf16 scales and the samples stay close to the fp32-scale path."""
+        from mas_tpu.models.sampler import sample_tokens
+        from mas_tpu.models.transformer import MakeAScene
+        from mas_tpu.utils.config import ConfigError, TransformerConfig
+
+        base = dict(num_layers=2, hidden_dim=64, num_attn_heads=8,
+                    image_vocab_size=128, seg_vocab_size=128,
+                    text_vocab_size=128 + 16, image_tokens_per_dim=4,
+                    seg_tokens_per_dim=2, text_length=16)
+        rng = jax.random.PRNGKey(0)
+        text = jax.random.randint(rng, (2, 16), 1, 100)
+        seg = jax.random.randint(rng, (2, 4), 0, 128)
+        m32 = MakeAScene(TransformerConfig(**base, kv_cache_dtype="int4"))
+        variables = m32.init(jax.random.PRNGKey(1), text, seg,
+                             jnp.zeros((2, 16), jnp.int32))
+        toks32 = sample_tokens(m32, variables, text, seg,
+                               jax.random.PRNGKey(2), guidance_scale=2.0,
+                               top_k=8)
+        m16 = MakeAScene(TransformerConfig(
+            **base, kv_cache_dtype="int4", kv_scale_dtype="bfloat16"))
+        toks16 = sample_tokens(m16, variables, text, seg,
+                               jax.random.PRNGKey(2), guidance_scale=2.0,
+                               top_k=8)
+        agree = float(np.mean(np.asarray(toks16) == np.asarray(toks32)))
+        assert agree > 0.8, agree
+        # bf16 scales require the quantized 'lane' decode path
+        with pytest.raises(ConfigError):
+            TransformerConfig(**base, kv_scale_dtype="bfloat16")
+        with pytest.raises(ConfigError):
+            TransformerConfig(**base, kv_cache_dtype="int8",
+                              kv_cache_layout="lane_aliased",
+                              kv_scale_dtype="bfloat16")
 
 
 def test_auto_blocks_rules():
