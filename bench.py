@@ -174,8 +174,8 @@ def main():
     ap.add_argument("--kv-scale-dtype", default="float32",
                     choices=("float32", "bfloat16"),
                     help="storage dtype of the quantized cache's "
-                         "per-position scales (bfloat16 trims ~6% off the "
-                         "dominant cache-read stream)")
+                         "per-position scales (bfloat16 trims ~6%% off "
+                         "the dominant cache-read stream)")
     ap.add_argument("--kv-layout", default="lane",
                     choices=("lane", "lane_aliased", "packed"),
                     help="quantized-cache layout/write path "

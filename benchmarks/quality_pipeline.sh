@@ -19,12 +19,24 @@ run() {  # run <tag> <cmd...>   (per-stage cap via STAGE_TIMEOUT)
   echo "done $tag exit=$? $(date)"
 }
 
+# 1-line/min host-RAM telemetry (the axon client leaks staging buffers;
+# if a stage is OOM-killed this log is the post-mortem)
+( while true; do
+    echo "$(date +%H:%M:%S) $(grep -E 'MemAvailable|MemFree' /proc/meminfo | tr -s ' ' | tr '\n' ' ')"
+    sleep 60
+  done > "$LOG/mem.log" 2>&1 ) &
+MEMLOG_PID=$!
+trap 'kill $MEMLOG_PID 2>/dev/null' EXIT
+
 # quick decode A/B first (cache-warm ~5 min each): bf16 KV scales vs the
 # fp32-scale shipped default at the headline geometry
 run bench_s16  python -u bench.py --quick --kv-scale-dtype bfloat16
 run bench_s32  python -u bench.py --quick
 
-# 256^2 competence schedule (~3 h total on one v5e chip)
+# 256^2 competence schedule (~3 h total on one v5e chip).  Wipe stale
+# checkpoints first: stages restore "latest step" blindly, so a crashed
+# stage would otherwise hand the next one an old short-schedule model.
+rm -rf /tmp/recon_q /tmp/recon_q_512
 run seg      python -u benchmarks/recon_quality.py seg --pool 16384 --steps-seg 12000
 run img      python -u benchmarks/recon_quality.py img --pool 16384 --steps-img 12000
 run ar       python -u benchmarks/recon_quality.py ar  --pool 16384 --steps-ar 20000 --ar-eval-prompts 128

@@ -88,19 +88,24 @@ SEG_RES = 256
 def sub_seg(packed):
     """Packed int16 label map [B, r, r, 4] -> SEG_RES² by nearest."""
     f = RES // SEG_RES
+    assert f >= 1 and RES % SEG_RES == 0, (RES, SEG_RES)
     return packed if f == 1 else packed[:, ::f, ::f]
 
 
-def train_scenes(seed=0, compact=False, batch=None, res=None):
+def train_scenes(seed=0, compact=False, batch=None, res=None,
+                 image_u8=False):
     """Cached + prefetched scene stream (fresh generation starves the
     chip: 8.4 s/batch at 256² vs 160 ms steps; compact=True additionally
     ships packed int16 labels instead of the 41 MB/sample one-hot —
-    host->device transfer through the tunnel starved the chip too)."""
+    host->device transfer through the tunnel starved the chip too;
+    image_u8=True ships uint8 RGB, 4x less upload: the axon client leaks
+    every staging buffer, and the competence schedules upload for hours)."""
     from mas_tpu.data.prefetch import prefetch
     return prefetch(StructuredSceneBatches(batch or BATCH, res or RES,
                                            seed=seed,
                                            cache_scenes=TRAIN_CACHE,
-                                           compact=compact),
+                                           compact=compact,
+                                           image_u8=image_u8),
                     size=4)
 
 
@@ -199,7 +204,8 @@ def stage_img(steps: int = 3000, disc_start: int = 2000):
     t0 = time.time()
     def img_batches():
         # strip the seg labels: the VQGAN step consumes image + boxes only
-        for b in train_scenes(seed=0, compact=True):
+        # (uint8 images — the step converts on device, steps.to_float_image)
+        for b in train_scenes(seed=0, compact=True, image_u8=True):
             yield {k: b[k] for k in ("image", "bbox_obj", "bbox_face")}
 
     state = run_pretrain_image(
@@ -276,11 +282,14 @@ def scene_text_tokens(batch) -> np.ndarray:
     imgs = batch["image"]
     boxes = batch["bbox_obj"]
     b = imgs.shape[0]
+    scale = 1.0 / 255.0 if imgs.dtype == np.uint8 else 1.0
     text = np.zeros((b, TEXT_LEN), np.int32)
     n_things = (boxes.sum(-1) > 0).sum(-1)
     text[:, 0] = 1 + n_things
-    text[:, 1] = 1 + (imgs[:, :, :, 1].mean((1, 2)) * 30).astype(np.int32)
-    text[:, 2] = 1 + (imgs[:, :, :, 0].mean((1, 2)) * 30).astype(np.int32)
+    text[:, 1] = 1 + (imgs[:, :, :, 1].mean((1, 2)) * scale
+                      * 30).astype(np.int32)
+    text[:, 2] = 1 + (imgs[:, :, :, 0].mean((1, 2)) * scale
+                      * 30).astype(np.int32)
     return text
 
 
@@ -325,10 +334,11 @@ def stage_ar(steps: int = 4000):
     img_model, img_vars = restore_vq("img", img_model_cfg(), with_disc=True)
     # packed labels -> on-device one-hot -> tokens (ships 0.5 MB/sample,
     # not the 41 MB one-hot)
+    from mas_tpu.train.steps import to_float_image
     seg_enc = jax.jit(lambda p: seg_model.apply(
         seg_vars, one_hot_seg_packed(p), method=VQModel.encode_tokens))
     img_enc = jax.jit(lambda x: img_model.apply(
-        img_vars, x, method=VQModel.encode_tokens))
+        img_vars, to_float_image(x), method=VQModel.encode_tokens))
     img_dec = jax.jit(lambda toks: img_model.apply(
         img_vars, toks, method=VQModel.decode_code))
 
@@ -340,7 +350,7 @@ def stage_ar(steps: int = 4000):
         # Per-step uploads drop to ~68 KB of token ids.
         src = iter(StructuredSceneBatches(AR_BATCH, RES, seed=1,
                                           cache_scenes=TRAIN_CACHE,
-                                          compact=True))
+                                          compact=True, image_u8=True))
         texts, segs, imgs = [], [], []
         for _ in range(TRAIN_CACHE // AR_BATCH):
             batch = next(src)

@@ -10,9 +10,12 @@ cd "$(dirname "$0")/.."
 LOG=${1:-/tmp}
 
 while true; do
-  timeout -k 5 120 python -c "import jax; print(jax.devices())" \
+  # sentinel instead of grepping the device repr (unknown for axon):
+  # AXON_OK prints only if backend init succeeded and returned devices
+  timeout -k 5 120 python -c \
+    "import jax; ds = jax.devices(); assert ds; print('AXON_OK', ds)" \
     > "$LOG/axon_probe.log" 2>&1
-  if grep -qi "tpu" "$LOG/axon_probe.log"; then
+  if grep -q "AXON_OK" "$LOG/axon_probe.log"; then
     echo "axon up $(date)"
     break
   fi

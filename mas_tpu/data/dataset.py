@@ -448,11 +448,17 @@ class StructuredSceneBatches:
 
     def __init__(self, batch_size: int, resolution: int = 256, seed: int = 0,
                  max_boxes: int = 6, cache_scenes: int = 0,
-                 workers: int = 4, compact: bool = False):
+                 workers: int = 4, compact: bool = False,
+                 image_u8: bool = False):
         # compact=True: yield "seg_packed" int16 [B, r, r, 4] label maps
         # (segmap.pack_seg_labels) instead of the dense "mask" one-hot —
         # 80x less host->device traffic; the seg train step expands
         # in-graph (one_hot_seg_packed)
+        #
+        # image_u8=True: yield "image" as uint8 [0,255] instead of float32
+        # [0,1] — 4x less host->device traffic (the axon client leaks every
+        # staging buffer, so long image-stage runs must bound total upload
+        # volume); jitted steps convert on device (steps.to_float_image)
         self.batch_size = batch_size
         self.resolution = resolution
         self.max_boxes = max_boxes
@@ -471,6 +477,7 @@ class StructuredSceneBatches:
         self.cache_scenes = cache_scenes
         self.workers = workers
         self.compact = compact
+        self.image_u8 = image_u8
 
     def _ellipse(self, xx, yy, cx, cy, a, b):
         return ((xx - cx) / a) ** 2 + ((yy - cy) / b) ** 2 <= 1.0
@@ -552,7 +559,11 @@ class StructuredSceneBatches:
             mask = assemble_seg_map(pan, edge, hum, np.zeros_like(edge),
                                     face)
         m, r = self.max_boxes, self.resolution
-        return (np.asarray(img, np.float32), mask,
+        if self.image_u8:
+            img = (np.asarray(img) * 255).astype(np.uint8)
+        else:
+            img = np.asarray(img, np.float32)
+        return (img, mask,
                 pad_boxes(sanitize_bboxes(boxes, frame=r), m),
                 pad_boxes(sanitize_bboxes(face_boxes, frame=r), m))
 
@@ -590,7 +601,8 @@ class StructuredSceneBatches:
         mask_shape = ((b, r, r, 4) if self.compact
                       else (b, r, r, NUM_SEG_CHANNELS))
         mask_dtype = np.int16 if self.compact else np.float32
-        pool = [{"image": np.zeros((b, r, r, 3), np.float32),
+        img_dtype = np.uint8 if self.image_u8 else np.float32
+        pool = [{"image": np.zeros((b, r, r, 3), img_dtype),
                  self._mask_key: np.zeros(mask_shape, mask_dtype),
                  "bbox_obj": np.zeros((b, m, 4), np.float32),
                  "bbox_face": np.zeros((b, m, 4), np.float32)}
@@ -605,8 +617,11 @@ class StructuredSceneBatches:
                 slot = (slot + 1) % len(pool)
                 for row, i in enumerate(order[start:start + b]):
                     img, pan, hum, face, edge, bx, fbx = scenes[i]
-                    np.multiply(img, np.float32(1.0 / 255.0),
-                                out=buf["image"][row])
+                    if self.image_u8:
+                        buf["image"][row] = img      # stored uint8 already
+                    else:
+                        np.multiply(img, np.float32(1.0 / 255.0),
+                                    out=buf["image"][row])
                     if self.compact:
                         pk = buf["seg_packed"][row]
                         pk[..., 0] = pan

@@ -209,6 +209,8 @@ def run_pretrain_image(train_cfg: TrainConfig, model_cfg: VQModelConfig,
         if step_no % logger.image_period:
             return
         images = batch["image"][:4]
+        if images.dtype == np.uint8:   # image_u8 pipelines ship [0,255]
+            images = images.astype(np.float32) / 255.0
         recon = _recon(st.params, st.batch_stats, images)
         logger.log(step=step_no, img=np.asarray(images),
                    img_rec=np.clip(np.asarray(recon), 0.0, 1.0))
@@ -257,9 +259,10 @@ def tokenize_batches(pixel_batches: Iterable[Dict[str, np.ndarray]],
     """Pixels+captions -> (text, seg, image) token batches using the two
     frozen VQ encoders (the reference repo never shipped this glue —
     SURVEY §3.3 notes tokens are 'expected pre-extracted')."""
+    from .steps import to_float_image
     seg_enc = jax.jit(lambda v, x: vq_seg.apply(v, x,
                                                 method=VQModel.encode_tokens))
-    img_enc = jax.jit(lambda v, x: vq_img.apply(v, x,
+    img_enc = jax.jit(lambda v, x: vq_img.apply(v, to_float_image(x),
                                                 method=VQModel.encode_tokens))
     for batch in pixel_batches:
         seg_t = np.asarray(seg_enc(seg_vars, batch["mask"]))

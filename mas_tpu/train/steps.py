@@ -25,6 +25,20 @@ from .state import VQTrainState
 EMBED_KEY = "codebook_embedding"
 
 
+def to_float_image(images: jax.Array) -> jax.Array:
+    """uint8 [0,255] -> float32 [0,1]; float dtypes pass through.
+
+    Input pipelines may ship RGB as uint8 (``StructuredSceneBatches
+    (image_u8=True)``) — 4x less host->device traffic, which matters
+    because the axon client leaks every staging buffer, so long image-
+    stage runs must bound total upload volume.  The conversion happens
+    on device inside the jitted step (dtype is static under jit, so the
+    branch costs nothing)."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 def _writeback_embedding(params, emb, triggered):
     """On a k-means step, overwrite the codebook param with the centroids."""
     new = jax.lax.select(triggered, emb, params[EMBED_KEY])
@@ -191,6 +205,7 @@ def make_img_train_step(model: VQModel, disc, tx, disc_tx,
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: VQTrainState, batch, frozen, rng):
+        batch = {**batch, "image": to_float_image(batch["image"])}
         disc_vars = {"params": state.disc_params["params"],
                      "batch_stats": state.disc_params["batch_stats"]}
 

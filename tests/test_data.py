@@ -352,3 +352,27 @@ def test_structured_cached_batches_cycle_and_align():
         assert b["mask"][..., 153:158].sum(-1).max() <= 1.0
         seen.append(b["image"].sum())
     assert len(set(np.round(seen, 3))) > 1   # batches vary
+
+
+def test_structured_batches_image_u8_aligned():
+    """image_u8=True ships uint8 [0,255]; /255 matches the float stream
+    (cached pools store uint8 internally either way, so the cached paths
+    are bit-exact; the fresh path is within one quantization step)."""
+    import numpy as np
+
+    from mas_tpu.data.dataset import StructuredSceneBatches
+
+    kw = dict(resolution=32, seed=11, cache_scenes=8)
+    bu = next(iter(StructuredSceneBatches(4, image_u8=True, **kw)))
+    bf = next(iter(StructuredSceneBatches(4, **kw)))
+    assert bu["image"].dtype == np.uint8
+    np.testing.assert_allclose(bu["image"].astype(np.float32) / 255.0,
+                               bf["image"], atol=1e-7)
+    np.testing.assert_array_equal(bu["mask"], bf["mask"])
+
+    fu = next(iter(StructuredSceneBatches(2, resolution=32, seed=5,
+                                          image_u8=True)))
+    ff = next(iter(StructuredSceneBatches(2, resolution=32, seed=5)))
+    assert fu["image"].dtype == np.uint8
+    np.testing.assert_allclose(fu["image"].astype(np.float32) / 255.0,
+                               ff["image"], atol=1.01 / 255)

@@ -88,3 +88,18 @@ def test_codebook_state_carried(setup):
     # init_steps=2 => collection started after counter>2
     assert int(s.vq_state.counter) == 3
     assert int(s.vq_state.filled) > 0
+
+
+def test_uint8_image_batch_matches_float(setup):
+    """image_u8 pipelines: the step converts uint8 -> float32/255 on
+    device (steps.to_float_image), so metrics match the float path
+    exactly for u8-representable images."""
+    state, step, batch, frozen, _ = setup
+    u8 = np.round(np.asarray(batch["image"]) * 255).astype(np.uint8)
+    batch_u8 = {**batch, "image": jnp.asarray(u8)}
+    batch_f = {**batch, "image": jnp.asarray(u8, jnp.float32) / 255.0}
+    _, m_u8 = step(state, batch_u8, frozen, jax.random.PRNGKey(4))
+    _, m_f = step(state, batch_f, frozen, jax.random.PRNGKey(4))
+    for k in ("loss", "nll_loss", "d_loss", "q_loss"):
+        np.testing.assert_allclose(float(m_u8[k]), float(m_f[k]),
+                                   rtol=1e-6, err_msg=k)

@@ -32,6 +32,10 @@ TINY_CB = CodebookConfig(codebook_size=16, codebook_dim=16, init_steps=2,
 @pytest.fixture()
 def tiny(tmp_path, monkeypatch):
     monkeypatch.setattr(rq, "RES", 32)
+    # keep the seg pipeline at the test resolution (the real script pins
+    # SEG_RES=256 at every --res; 32 keeps sub_seg the identity and the
+    # seg checkpoint inside tmp_path)
+    monkeypatch.setattr(rq, "SEG_RES", 32)
     monkeypatch.setattr(rq, "BATCH", 8)
     monkeypatch.setattr(rq, "AR_BATCH", 8)
     monkeypatch.setattr(rq, "CKPT", str(tmp_path / "ckpt"))
@@ -58,11 +62,12 @@ def test_all_stages_produce_metrics_and_grids(tiny):
     rq.stage_ar(steps=4)
     with open(os.path.join(rq.RESULTS, "recon_quality.json")) as f:
         data = json.load(f)
-    assert 0.0 <= data["seg"]["argmax_accuracy"] <= 1.0
-    assert data["img"]["psnr"] > 0
-    assert np.isfinite(data["img"]["recon_fid_vgg"])
+    sfx = "" if rq.RES == 256 else f"_{rq.RES}"   # record() suffixes keys
+    assert 0.0 <= data[f"seg{sfx}"]["argmax_accuracy"] <= 1.0
+    assert data[f"img{sfx}"]["psnr"] > 0
+    assert np.isfinite(data[f"img{sfx}"]["recon_fid_vgg"])
     for kv in ("int8", "int4"):
-        assert 0.0 <= data["ar"][f"{kv}_token_agreement"] <= 1.0
-        assert data["ar"][f"{kv}_sample_l1_delta"] >= 0.0
+        assert 0.0 <= data[f"ar{sfx}"][f"{kv}_token_agreement"] <= 1.0
+        assert data[f"ar{sfx}"][f"{kv}_sample_l1_delta"] >= 0.0
     assert os.path.exists(os.path.join(rq.RESULTS, "vqimg_recon_grid.png"))
     assert os.path.exists(os.path.join(rq.RESULTS, "ar_samples_grid.png"))
