@@ -181,8 +181,10 @@ def main():
                     help="quantized-cache layout/write path "
                          "(see TransformerConfig.kv_cache_layout)")
     args = ap.parse_args()
-    if args.kv_layout == "packed" and args.kv_cache == "compute":
-        log("--kv-layout packed requires a quantized cache; forcing int4")
+    if (args.kv_layout in ("packed", "lane_aliased")
+            and args.kv_cache == "compute"):
+        log(f"--kv-layout {args.kv_layout} requires a quantized cache; "
+            "forcing int4")
         args.kv_cache = "int4"
     if args.ring and args.kv_cache != "int8":
         # the ring branch only engages for int8 caches (sampler.py); with

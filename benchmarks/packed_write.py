@@ -10,7 +10,6 @@ sampler's regime.  Compares:
 for int8 and int4.  Run: python benchmarks/packed_write.py  (real TPU).
 """
 
-import functools
 import os
 import sys
 import time
@@ -30,52 +29,15 @@ STEPS = 256
 LAYERS = 24
 
 
-def bench_scan(name, make_body, carries, iters=3):
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(carries):
-        def body(c, step):
-            return make_body(c, step), ()
-        c, _ = jax.lax.scan(body, carries, jnp.arange(STEPS))
-        return c
-
-    c = jax.tree.map(jnp.copy, carries)
-    c = run(c)
-    jax.tree.map(lambda x: float(jnp.asarray(
-        x.astype(jnp.float32) if x.dtype == jnp.int4 else x
-        ).reshape(-1)[0].astype(jnp.float32)), c)
-    times = []
-    for _ in range(iters):
-        c2 = jax.tree.map(jnp.copy, carries)
-        t0 = time.time()
-        c2 = run(c2)
-        jax.tree.map(lambda x: float(jnp.asarray(
-            x.astype(jnp.float32) if x.dtype == jnp.int4 else x
-            ).reshape(-1)[0].astype(jnp.float32)), c2)
-        times.append(time.time() - t0)
-    dt = sorted(times)[len(times) // 2] / STEPS * 1000
-    print(f"{name:58s} {dt:7.4f} ms/step  (x{LAYERS} = "
-          f"{dt * LAYERS:6.2f} ms/token)", flush=True)
-    return dt
-
-
 def main():
     r = jax.random.PRNGKey(0)
     q = jax.random.normal(r, (B, H, 1, D), jnp.bfloat16)
     new = jax.random.normal(r, (B, H, 1, D), jnp.bfloat16)
     kv_seq = jax.random.normal(r, (B, H, T, D), jnp.bfloat16)
 
-    @jax.jit
-    def seeds(kv_seq, dtype_name):
-        pass
-
     for dtn in ("int8", "int4"):
         dt = jnp.int8 if dtn == "int8" else jnp.int4
 
-        # everything involving int4 must live inside one jit on this
-        # backend (device_put recursion bug) — build carries inside the
-        # timed jit's donor via a separate jitted builder that returns
-        # int8-viewed leaves is messier; instead keep int4 carries inside
-        # the run-jit by building them from bf16 donors.
         # (a) lane layout + DUS (round-2 shipped path)
         def lane_body(c, s, dt=dt):
             q_, kc, vc = c
@@ -100,20 +62,20 @@ def main():
             return (decode_attention_packed(q_, cache, s)
                     .astype(jnp.bfloat16), cache)
 
-        @functools.partial(jax.jit, static_argnames=("which",))
         def build(kv_seq, which):
             if which == "lane":
                 c = quantize_kv(kv_seq.transpose(0, 1, 3, 2), dtype=dt)
                 return (q, c, c)
             return (q, pack_quantize(kv_seq, kv_seq * 0.5, dtype=dt))
 
-        # int4 leaves can't cross jit on axon -> rebuild inside each run;
-        # to keep the harness simple we time with the carries built inside
-        # the scan jit itself via a closure over bf16 donors.
+        # int4 leaves can't cross jit on axon (device_put recursion bug),
+        # so the carries are built from bf16 donors INSIDE the timed jit;
+        # the build cost is one-time work before the 256-step scan and is
+        # amortized out of the per-step number.
         def timed(name, body, which):
             @jax.jit
             def run(kv_seq):
-                c = build.__wrapped__(kv_seq, which)
+                c = build(kv_seq, which)
                 def b(c, s):
                     return body(c, s), ()
                 c, _ = jax.lax.scan(b, c, jnp.arange(STEPS))

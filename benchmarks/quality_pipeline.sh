@@ -43,10 +43,13 @@ run ar       python -u benchmarks/recon_quality.py ar  --pool 16384 --steps-ar 2
 run bench512 python -u bench.py --resolution 512
 
 # 512^2 rows (shorter demonstration schedule; seg is 256^2-only by design —
-# the 512^2 stages reuse /tmp/recon_q/seg, see recon_quality.py:80-91)
-STAGE_TIMEOUT=9500 \
+# the 512^2 stages reuse /tmp/recon_q/seg, see recon_quality.py:80-91).
+# NB: `VAR=x run ...` would scope the assignment to that one call only
+# (and not at all in default bash mode for functions) — set it plainly.
+STAGE_TIMEOUT=12000
 run img512   python -u benchmarks/recon_quality.py img --res 512 --pool 4096 --steps-img 4000
 run ar512    python -u benchmarks/recon_quality.py ar  --res 512 --pool 4096 --steps-ar 6000 --ar-eval-prompts 32
+STAGE_TIMEOUT=7000
 
 # 512^2 scale-dtype A/B (the 1408-token geometry reads 2.2x the cache)
 run bench512_s16 python -u bench.py --resolution 512 --kv-scale-dtype bfloat16

@@ -51,8 +51,16 @@ from mas_tpu.utils.config import (CodebookConfig, OptimizerConfig,
 RESULTS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "results")
 CKPT = "/tmp/recon_q"
+SEG_CKPT_256 = "/tmp/recon_q"   # where a 512² run finds the 256² seg stage
 RES = 256
 BATCH = 8
+
+
+def grid_path(name: str) -> str:
+    """Per-resolution artifact name so a 512² run can't overwrite the
+    256² evidence grids (metrics are suffixed the same way in record())."""
+    suffix = "" if RES == 256 else f"_{RES}"
+    return os.path.join(RESULTS, f"{name}{suffix}.png")
 
 # fast-convergence optimizer for the demonstration runs (the reference's
 # production lr of 4.5e-6 needs millions of steps; capability != schedule)
@@ -247,7 +255,7 @@ def stage_img(steps: int = 3000, disc_start: int = 2000):
             pair = np.concatenate([np.asarray(images[:4]),
                                    np.asarray(recon[:4])])
             save_image(make_grid(pair, nrow=4),
-                       os.path.join(RESULTS, "vqimg_recon_grid.png"))
+                       grid_path("vqimg_recon_grid"))
     cb = codebook_stats(jnp.asarray(np.concatenate(all_toks).ravel()),
                         mcfg.codebook.codebook_size)
     record("img", dict(
@@ -310,7 +318,8 @@ def restore_vq(name: str, mcfg, with_disc: bool = False):
     cfg1 = train_cfg(name, 1, mode="pretrain_segmentation")
     if name == "seg" and RES != SEG_RES:
         # the seg pipeline is 256²-only; 512² runs reuse its checkpoint
-        cfg1 = cfg1.replace(checkpoint_dir="/tmp/recon_q/seg")
+        cfg1 = cfg1.replace(
+            checkpoint_dir=os.path.join(SEG_CKPT_256, "seg"))
     state = _maybe_resume(
         cfg1.replace(resume=True),
         state)
@@ -446,7 +455,7 @@ def stage_ar(steps: int = 4000):
         metrics[f"{kv}_sample_fid_vgg"] = fid_real.fid(fid_s[kv])
 
     save_image(make_grid(grid_rows, nrow=4),
-               os.path.join(RESULTS, "ar_samples_grid.png"))
+               grid_path("ar_samples_grid"))
     record("ar", metrics)
 
 
@@ -469,17 +478,23 @@ def main():
     ap.add_argument("--ar-eval-prompts", type=int, default=32)
     ap.add_argument("--ckpt", default=None,
                     help="checkpoint root (default /tmp/recon_q[_512])")
+    ap.add_argument("--seg-ckpt", default=None,
+                    help="256² checkpoint root whose seg stage a 512² run "
+                         "reuses (default /tmp/recon_q)")
     args = ap.parse_args()
     RES, BATCH, TRAIN_CACHE = args.res, args.batch, args.pool
     AR_EVAL_PROMPTS = args.ar_eval_prompts
     CKPT = args.ckpt or ("/tmp/recon_q" if RES == 256
                          else f"/tmp/recon_q_{RES}")
+    global SEG_CKPT_256
+    SEG_CKPT_256 = args.seg_ckpt or (CKPT if RES == SEG_RES
+                                     else "/tmp/recon_q")
     if args.stage in ("seg", "all"):
         if RES == SEG_RES:
             stage_seg(args.steps_seg)
         else:
             print("seg stage is 256²-only (16² tokens either way); "
-                  "reusing /tmp/recon_q/seg", flush=True)
+                  f"reusing {SEG_CKPT_256}/seg", flush=True)
     if args.stage in ("img", "all"):
         stage_img(args.steps_img, args.disc_start)
     if args.stage in ("ar", "all"):

@@ -34,7 +34,7 @@ import multiprocessing as mp
 import os
 import tarfile
 import time
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -85,15 +85,16 @@ class SyntheticAnnotator:
             }
         if self.kind == "human":
             # fake NET logits at the LIP net's output resolution; the
-            # input-prep + logits->mask chain is the real ported transform
-            # (human_parts_preprocessor.py:90-101)
-            from .annotate import (HUMAN_PARTS_CLASSES, human_logits_to_mask,
-                                   prepare_human_input)
+            # logits->mask half of the ported transform chain is real
+            # (human_parts_preprocessor.py:90-101).  prepare_human_input is
+            # NOT run here — its output shape is static (473² regardless of
+            # input) and it expects BGR [0,255], which synthetic RGB [0,1]
+            # scenes aren't; the input-prep half has its own oracle test.
+            from .annotate import (HUMAN_PARTS_CLASSES,
+                                   HUMAN_PARTS_INPUT_SIZE,
+                                   human_logits_to_mask)
 
-            net_in = prepare_human_input(
-                np.ascontiguousarray(
-                    np.asarray(image, np.float32).transpose(2, 0, 1))[None])
-            out_hw = net_in.shape[-1] // 4 + 1               # SCHP os=4: 119
+            out_hw = HUMAN_PARTS_INPUT_SIZE[0] // 4 + 1      # SCHP os=4: 119
             logits = np.full((1, HUMAN_PARTS_CLASSES, out_hw, out_hw),
                              -4.0, np.float32)
             logits[:, 0] = 4.0                               # background
@@ -227,6 +228,7 @@ def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
     n_kinds = len(annotators)
     finished_workers = 0
     repack_procs: List[mp.Process] = []
+    all_repack: List[Tuple[mp.Process, str]] = []  # for exit accounting
     def handle(msg: str) -> None:
         nonlocal finished_workers, repack_procs
         kind, worker, event, tar = msg.split("/", 3)
@@ -250,6 +252,7 @@ def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
                                  tuple(annotators)))
             p.start()
             repack_procs.append(p)
+            all_repack.append((p, out_tar))
             outputs.append(out_tar)
             _write_state(out_dir, done_counts, state)
 
@@ -281,6 +284,14 @@ def preprocess_web(shards, out_dir: str, annotators: Dict[str, Annotator],
         handle(msg)
     for p in procs + repack_procs:
         p.join()
+    # Surface repack-child failures: a failed ``pipe:`` sink (or any
+    # exception inside repack_single_tar) exits nonzero in the child —
+    # without this check the run would report the shard as written while
+    # it silently never reached the sink.
+    failed = [(out, p.exitcode) for p, out in all_repack
+              if p.exitcode not in (0, None)]
+    if failed:
+        raise RuntimeError(f"repack process(es) failed: {failed}")
     return outputs
 
 

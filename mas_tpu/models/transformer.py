@@ -209,15 +209,17 @@ class SelfAttention(nn.Module):
         if decode_impl == "auto" and cfg.attention_impl in (
                 "pallas", "pallas_interpret"):
             decode_impl = cfg.attention_impl
-        if isinstance(k_cache, PackedQuantCache):
+
+        def _write_impl() -> str:
             if decode_impl == "pallas_interpret":
-                write_impl = "pallas_interpret"
-            elif decode_impl == "jnp" or jax.default_backend() != "tpu":
-                write_impl = "jnp"
-            else:
-                write_impl = "pallas"
+                return "pallas_interpret"
+            if decode_impl == "jnp" or jax.default_backend() != "tpu":
+                return "jnp"
+            return "pallas"
+
+        if isinstance(k_cache, PackedQuantCache):
             cache = update_packed_cache(k_cache, k_new, v_new, index,
-                                        impl=write_impl)
+                                        impl=_write_impl())
             ctx = decode_attention_packed(q, cache, index)
             ctx = ctx.astype(q.dtype).transpose(0, 2, 1, 3).reshape(
                 b, 1, cfg.hidden_dim)
@@ -226,16 +228,9 @@ class SelfAttention(nn.Module):
             if cfg.kv_cache_layout == "lane_aliased":
                 from ..ops.decode_cache import update_quant_caches_aliased
 
-                if decode_impl == "pallas_interpret":
-                    write_impl = "pallas_interpret"
-                elif (decode_impl == "jnp"
-                      or jax.default_backend() != "tpu"):
-                    write_impl = "jnp"
-                else:
-                    write_impl = "pallas"
                 k_cache, v_cache = update_quant_caches_aliased(
                     k_cache, v_cache, k_new.transpose(0, 1, 3, 2),
-                    v_new.transpose(0, 1, 3, 2), index, impl=write_impl)
+                    v_new.transpose(0, 1, 3, 2), index, impl=_write_impl())
             else:
                 k_cache = update_quant_cache(
                     k_cache, k_new.transpose(0, 1, 3, 2), index)

@@ -208,9 +208,8 @@ def run_pretrain_image(train_cfg: TrainConfig, model_cfg: VQModelConfig,
     def image_fn(step_no, st, batch):
         if step_no % logger.image_period:
             return
-        images = batch["image"][:4]
-        if images.dtype == np.uint8:   # image_u8 pipelines ship [0,255]
-            images = images.astype(np.float32) / 255.0
+        from .steps import to_float_image
+        images = to_float_image(batch["image"][:4])
         recon = _recon(st.params, st.batch_stats, images)
         logger.log(step=step_no, img=np.asarray(images),
                    img_rec=np.clip(np.asarray(recon), 0.0, 1.0))

@@ -354,3 +354,16 @@ def test_repack_pipe_sink_failure_raises(tmp_path):
     _write_raw_tar(raw, n=1)
     with pytest.raises(RuntimeError, match="repack sink"):
         repack_single_tar(raw, str(tmp_path), "pipe:exit 3", ("panoptic",))
+
+
+def test_preprocess_web_surfaces_repack_child_failure(tmp_path):
+    """A failing remote sink inside the repack CHILD process must fail the
+    run — otherwise the coordinator reports the shard as written while it
+    never reached the sink (the production path of the pipe-sink feature;
+    the direct-call test above doesn't cover the mp.Process boundary)."""
+    raw = str(tmp_path / "raw.tar")
+    _write_raw_tar(raw)
+    anns = {k: SyntheticAnnotator(k) for k in ("panoptic", "human", "face")}
+    with pytest.raises(RuntimeError, match="repack process"):
+        preprocess_web(raw, str(tmp_path / "out"), anns,
+                       out_url="pipe:exit 3")
