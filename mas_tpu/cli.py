@@ -84,6 +84,36 @@ def _data_iter(data_cfg: Dict[str, Any], mode: str, batch_size: int,
                                  need_seg=(mode != "pretrain_image"))
         # background thread keeps batches ahead of the async TPU step
         return prefetch(batches, size=data_cfg.get("prefetch", 2))
+    if kind == "local_npz":
+        # reference local mode: COCO-style image dir + per-image
+        # {name}_{panoptic,human,face}.npz from the offline annotators
+        # (Data/dataset_preprocessor.py:54-95; conf/seg_config.yaml)
+        import jax
+
+        from .data.dataset import PreprocessedLocalDataset
+        from .data.prefetch import prefetch
+
+        ds = PreprocessedLocalDataset(
+            data_cfg["image_dir"], data_cfg["preprocessed_dir"],
+            resolution=data_cfg.get("resolution", 256),
+            seed=data_cfg.get("seed", 0))
+
+        def samples():
+            # infinite shuffled epochs, strided across hosts; every host
+            # permutes with the SAME seed so the strides partition exactly
+            # (the reference's DistributedSampler contract)
+            import numpy as np
+            rng = np.random.default_rng(data_cfg.get("seed", 0))
+            pi, pc = jax.process_index(), jax.process_count()
+            while True:
+                order = rng.permutation(len(ds))
+                for i in order[pi::pc]:
+                    yield ds[int(i)]
+
+        batches = batch_iterator(samples(), batch_size,
+                                 max_boxes=data_cfg.get("max_boxes", 6),
+                                 need_seg=(mode != "pretrain_image"))
+        return prefetch(batches, size=data_cfg.get("prefetch", 2))
     raise ConfigError(f"unknown data kind {kind!r}")
 
 

@@ -283,6 +283,41 @@ def test_url_dataset_uses_cached_images(tmp_path):
     assert sample["mask"].shape[-1] == 159
 
 
+def test_cli_local_npz_data_iter(tmp_path):
+    """The reference's local mode (COCO image dir + per-image annotator
+    npz, conf/seg_config.yaml) through the CLI data dispatch: shuffled
+    infinite epochs over PreprocessedLocalDataset."""
+    import numpy as np
+    from PIL import Image
+
+    from mas_tpu.cli import _data_iter
+    from mas_tpu.data.preprocess import SyntheticAnnotator, preprocess_local
+
+    img_dir = tmp_path / "imgs"; img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = img_dir / f"im{i}.jpg"
+        Image.fromarray((rng.random((40, 48, 3)) * 255
+                         ).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    pre = tmp_path / "pre"
+    anns = {k: SyntheticAnnotator(k) for k in ("panoptic", "human", "face")}
+    preprocess_local(paths, str(pre), anns)
+
+    it = _data_iter({"kind": "local_npz", "image_dir": str(img_dir),
+                     "preprocessed_dir": str(pre), "resolution": 32},
+                    "pretrain_segmentation", 2)
+    b1 = next(it)
+    assert b1["image"].shape == (2, 32, 32, 3)
+    assert b1["mask"].shape == (2, 32, 32, 159)
+    assert b1["bbox_obj"].shape == (2, 6, 4)
+    # 3 samples/epoch with batch 2: the second batch spans the epoch
+    # boundary, proving the wrapper reshuffles and continues forever
+    b2 = next(it)
+    assert b2["image"].shape == (2, 32, 32, 3)
+
+
 def test_edges_from_instances():
     from mas_tpu.data.segmap import edges_from_instances
 
