@@ -34,7 +34,8 @@ def log(*a):
 def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
                    kv_cache_dtype: str = "int4", cache_segment: int = 0,
                    ring: bool = False, kv_layout: str = "lane",
-                   buckets: int = 1, kv_scale_dtype: str = "float32"):
+                   buckets: int = 1, kv_scale_dtype: str = "float32",
+                   kv_heads: int = 0):
     from mas_tpu.models.sampler import sample_tokens
     from mas_tpu.models.transformer import MakeAScene
     from mas_tpu.models.vqvae import VQModel
@@ -55,7 +56,11 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
                                          # sample-FID parity measured)
         decode_attention_impl=decode_impl, decode_ring_tail=ring,
         kv_cache_layout=kv_layout, decode_length_buckets=buckets,
-        kv_scale_dtype=kv_scale_dtype)
+        kv_scale_dtype=kv_scale_dtype,
+        num_kv_heads=kv_heads)   # GQA A/B: fewer kv heads divide the
+                                 # decode-dominant cache-read stream
+                                 # (DIFFERENT architecture — not the
+                                 # reference-parity headline config)
     vcfg = VQModelConfig(
         in_channels=3, out_channels=3, resolution=resolution,
         attn_resolutions=(resolution // 16,), compute_dtype="bfloat16",
@@ -114,10 +119,11 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
 
 def run(batches, iters, resolution=256, decode_impl="auto",
         kv_cache_dtype="int4", cache_segment=0, ring=False,
-        kv_layout="lane", buckets=1, kv_scale_dtype="float32"):
+        kv_layout="lane", buckets=1, kv_scale_dtype="float32",
+        kv_heads=0):
     pipeline, tcfg = build_pipeline(resolution, decode_impl, kv_cache_dtype,
                                     cache_segment, ring, kv_layout, buckets,
-                                    kv_scale_dtype)
+                                    kv_scale_dtype, kv_heads)
     best = 0.0
     best_batch = 0
     for b in batches:
@@ -180,6 +186,11 @@ def main():
                     choices=("lane", "lane_aliased", "packed"),
                     help="quantized-cache layout/write path "
                          "(see TransformerConfig.kv_cache_layout)")
+    ap.add_argument("--kv-heads", type=int, default=0,
+                    help="grouped-query attention: number of shared K/V "
+                         "heads (0 = 16, the reference MHA architecture; "
+                         "e.g. 4 => 4x smaller cache stream — a different "
+                         "architecture, benched as a serving variant)")
     args = ap.parse_args()
     if (args.kv_layout in ("packed", "lane_aliased")
             and args.kv_cache == "compute"):
@@ -208,7 +219,8 @@ def main():
     best, best_batch = run(batches, iters, args.resolution,
                            args.decode_impl, args.kv_cache,
                            args.cache_segment, args.ring, args.kv_layout,
-                           args.decode_buckets, args.kv_scale_dtype)
+                           args.decode_buckets, args.kv_scale_dtype,
+                           args.kv_heads)
 
     from benchmarks.torch_baseline import get_baseline
     base = get_baseline(resolution=args.resolution)

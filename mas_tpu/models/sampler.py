@@ -144,9 +144,8 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
         qdt = jnp.int4 if cfg.kv_cache_dtype == "int4" else jnp.int8
         sdt = (jnp.bfloat16 if cfg.kv_scale_dtype == "bfloat16"
                else jnp.float32)
-        q_full = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, size0),
-                           qdt)
-        s_full = jnp.ones((bb, cfg.num_attn_heads, 1, size0), sdt)
+        q_full = jnp.zeros((bb, cfg.kv_heads, cfg.head_dim, size0), qdt)
+        s_full = jnp.ones((bb, cfg.kv_heads, 1, size0), sdt)
 
         def seed(kv):
             qc = quantize_kv(transpose_cache(kv), dtype=qdt,
@@ -158,7 +157,7 @@ def sample_tokens(model: MakeAScene, variables, text_tokens, seg_tokens,
 
         caches = tuple((seed(k), seed(v)) for k, v in caches)
     else:
-        full = jnp.zeros((bb, cfg.num_attn_heads, cfg.head_dim, size0),
+        full = jnp.zeros((bb, cfg.kv_heads, cfg.head_dim, size0),
                          caches[0][0].dtype)
         caches = tuple(
             (jax.lax.dynamic_update_slice(full, transpose_cache(k),

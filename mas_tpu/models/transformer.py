@@ -126,19 +126,36 @@ class SelfAttention(nn.Module):
 
     def setup(self):
         dt = _dt(self.cfg)
-        self.qkv = nn.Dense(3 * self.cfg.hidden_dim, kernel_init=_INIT,
-                            dtype=dt, name="qkv")
+        # GQA: k/v projections emit kv_heads*head_dim features; with the
+        # default (kv_heads == num_attn_heads) this is exactly the
+        # reference's fused 3*hidden projection, same parameter layout
+        self.qkv = nn.Dense(
+            self.cfg.hidden_dim + 2 * self.cfg.kv_heads * self.cfg.head_dim,
+            kernel_init=_INIT, dtype=dt, name="qkv")
         self.out_proj = nn.Dense(self.cfg.hidden_dim, kernel_init=_INIT,
                                  dtype=dt, name="out_proj")
 
-    def _heads(self, t):
+    def _heads(self, t, n_heads: Optional[int] = None):
         b = t.shape[0]
-        return t.reshape(b, -1, self.cfg.num_attn_heads, self.cfg.head_dim
-                         ).transpose(0, 2, 1, 3)
+        return t.reshape(b, -1, n_heads or self.cfg.num_attn_heads,
+                         self.cfg.head_dim).transpose(0, 2, 1, 3)
 
     def _qkv(self, x):
-        q, k, v = jnp.split(self.qkv(x), 3, axis=-1)
-        return self._heads(q), self._heads(k), self._heads(v)
+        """q [B, T, H, hd]->[B, H, T, hd]; k/v with cfg.kv_heads heads."""
+        cfg = self.cfg
+        kv_dim = cfg.kv_heads * cfg.head_dim
+        qkv = self.qkv(x)
+        q = qkv[..., :cfg.hidden_dim]
+        k = qkv[..., cfg.hidden_dim:cfg.hidden_dim + kv_dim]
+        v = qkv[..., cfg.hidden_dim + kv_dim:]
+        return (self._heads(q), self._heads(k, cfg.kv_heads),
+                self._heads(v, cfg.kv_heads))
+
+    def _expand_kv(self, t):
+        """[B, kv_heads, T, hd] -> [B, H, T, hd]: each K/V head serves its
+        group of consecutive query heads (no-op for standard MHA)."""
+        g = self.cfg.num_attn_heads // self.cfg.kv_heads
+        return t if g == 1 else jnp.repeat(t, g, axis=1)
 
     def __call__(self, x, mask, return_kv: bool = False,
                  prefix_length: Optional[int] = None):
@@ -148,18 +165,22 @@ class SelfAttention(nn.Module):
         cfg = self.cfg
         b, tq, _ = x.shape
         q, k, v = self._qkv(x)
+        # attention math runs full-head (repeat is free vs the matmuls and
+        # its gradient segment-sums back to the kv heads); the CACHE keeps
+        # the compact kv-head tensors (return_kv below)
+        ke, ve = self._expand_kv(k), self._expand_kv(v)
         impl = (resolve_attention_impl(cfg, tq)
                 if prefix_length is not None else "jnp")
         if cfg.rudalle_relax:
             if impl != "jnp" and prefix_length is not None:
-                ctx = rudalle_relax_attention_fused(q, k, v, prefix_length,
+                ctx = rudalle_relax_attention_fused(q, ke, ve, prefix_length,
                                                     impl)
             else:
-                ctx = rudalle_relax_attention(q, k, v, mask)
+                ctx = rudalle_relax_attention(q, ke, ve, mask)
         elif impl != "jnp" and prefix_length is not None:
-            ctx = prefix_causal_attention(q, k, v, prefix_length, impl=impl)
+            ctx = prefix_causal_attention(q, ke, ve, prefix_length, impl=impl)
         else:
-            ctx = pb_relax_attention(q, k, v, mask,
+            ctx = pb_relax_attention(q, ke, ve, mask,
                                      alpha=cfg.pb_relax_alpha,
                                      pb_relax=cfg.cogview_pb_relax)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tq, cfg.hidden_dim)
@@ -198,6 +219,15 @@ class SelfAttention(nn.Module):
         if cfg.rudalle_relax and isinstance(k_cache,
                                             (QuantCache, PackedQuantCache)):
             raise TypeError("rudalle_relax decode needs a float KV cache")
+        # Grouped-query view: [B, H, 1, hd] -> [B, kv_heads, group, hd].
+        # The cached attention einsums are generic over the q axis, so each
+        # K/V head serves its `group` query rows in ONE pass over the cache
+        # — this is where GQA's bandwidth saving lands (the cache, and the
+        # read stream, shrink by the group factor).  group == 1 reproduces
+        # the exact MHA shapes/layouts.
+        group = cfg.num_attn_heads // cfg.kv_heads
+        q = q.reshape(b, cfg.kv_heads, group, cfg.head_dim)
+        gqa = group > 1
         # Write kernels (aliased RMW) follow the prefill attention impl
         # under 'auto'; the fused READ kernel never does — it is a measured
         # 6x end-to-end loser at serving geometry (batch-chunked DMA
@@ -236,14 +266,17 @@ class SelfAttention(nn.Module):
                     k_cache, k_new.transpose(0, 1, 3, 2), index)
                 v_cache = update_quant_cache(
                     v_cache, v_new.transpose(0, 1, 3, 2), index)
-            impl = (read_impl if read_impl in
+            impl = (read_impl if not gqa and read_impl in
                     ("pallas", "pallas_interpret") else "jnp")
             ctx = decode_attention_int8(
                 q, k_cache, v_cache, index, impl=impl,
                 bucket_bounds=_length_buckets(
                     k_cache.q.shape[3], cfg.decode_length_buckets,
                     cfg.prefix_length))
-            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
+            # [B, kv_heads, group, hd] flattens to head order h = kv*g + g'
+            # — the same grouping the q reshape above used (identical to
+            # the MHA transpose+reshape when group == 1)
+            ctx = ctx.reshape(b, 1, cfg.hidden_dim)
             return self.out_proj(ctx), (k_cache, v_cache)
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, k_new.transpose(0, 1, 3, 2).astype(k_cache.dtype),
@@ -259,13 +292,13 @@ class SelfAttention(nn.Module):
         # an explicit impl for longer-cache regimes / future tuning.
         if cfg.rudalle_relax:
             ctx = _rudalle_decode_attention(q, k_cache, v_cache, index)
-            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
+            ctx = ctx.reshape(b, 1, cfg.hidden_dim)
             ctx = (ctx / _detached_max(ctx)).astype(_dt(cfg))
             return self.out_proj(ctx), (k_cache, v_cache)
-        impl = (decode_impl if decode_impl in ("pallas", "pallas_interpret")
-                else "jnp")
+        impl = (decode_impl if not gqa and decode_impl in
+                ("pallas", "pallas_interpret") else "jnp")
         ctx = decode_attention(q, k_cache, v_cache, index, impl=impl)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
+        ctx = ctx.reshape(b, 1, cfg.hidden_dim)
         return self.out_proj(ctx), (k_cache, v_cache)
 
     def ring_decode(self, x, frozen_k, frozen_v, tail_k, tail_v, index,

@@ -197,6 +197,15 @@ class TransformerConfig(_Base):
     num_layers: int = 24
     hidden_dim: int = 1024
     num_attn_heads: int = 16
+    # Grouped-query attention (no reference analog — a serving-architecture
+    # option): number of shared K/V heads; 0 (default) = num_attn_heads
+    # (standard MHA, the reference architecture).  Each group of
+    # num_attn_heads/num_kv_heads consecutive query heads attends to one
+    # K/V head.  Decode is KV-cache-bandwidth-bound (BASELINE.md), so
+    # fewer KV heads divides the dominant HBM stream (and the cache
+    # memory) by the group size.  A GQA model is a DIFFERENT architecture:
+    # it must be trained with the same num_kv_heads it serves with.
+    num_kv_heads: int = 0
     image_vocab_size: int = 8192
     seg_vocab_size: int = 1024
     text_vocab_size: int = 16512       # includes text_length pad-remap slots
@@ -293,6 +302,25 @@ class TransformerConfig(_Base):
     def __post_init__(self):
         if self.hidden_dim % self.num_attn_heads:
             raise ConfigError("hidden_dim must divide num_attn_heads")
+        if self.num_kv_heads:
+            if self.num_attn_heads % self.num_kv_heads:
+                raise ConfigError(
+                    f"num_kv_heads ({self.num_kv_heads}) must divide "
+                    f"num_attn_heads ({self.num_attn_heads})")
+            if self.num_kv_heads < self.num_attn_heads:
+                if self.rudalle_relax:
+                    raise ConfigError(
+                        "grouped-query attention is not defined for the "
+                        "rudalle_relax checkpoint-compat variant")
+                if self.decode_ring_tail:
+                    raise ConfigError(
+                        "grouped-query attention supports only the default "
+                        "decode path; disable decode_ring_tail")
+                if self.kv_cache_layout != "lane":
+                    raise ConfigError(
+                        "grouped-query attention supports only "
+                        "kv_cache_layout='lane' (the RMW write kernels "
+                        "assume full-head caches)")
         if self.text_vocab_size < self.text_length:
             raise ConfigError("text_vocab_size must be >= text_length "
                               "(pad-remap needs text_length trailing slots)")
@@ -350,6 +378,11 @@ class TransformerConfig(_Base):
     @property
     def head_dim(self) -> int:
         return self.hidden_dim // self.num_attn_heads
+
+    @property
+    def kv_heads(self) -> int:
+        """Effective number of K/V heads (= num_attn_heads unless GQA)."""
+        return self.num_kv_heads or self.num_attn_heads
 
     @property
     def image_length(self) -> int:

@@ -261,3 +261,103 @@ def test_sample_logits_approx_head_within_topk():
     counts = np.bincount(toks.ravel(), minlength=6)
     assert counts[1] == counts[3] == counts[5] == 0
     assert (counts[[0, 2, 4]] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# grouped-query attention (no reference analog; serving-architecture option)
+# ---------------------------------------------------------------------------
+
+GQA = TINY.replace(num_kv_heads=2)   # 8 query heads, 2 kv heads, group 4
+
+
+class TestGroupedQueryAttention:
+    def test_cache_shapes_shrink(self):
+        model = MakeAScene(GQA)
+        text, seg, img = make_inputs(jax.random.PRNGKey(0), GQA)
+        variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+        _, caches = model.apply(variables, text, seg,
+                                method=MakeAScene.prefill)
+        # the cache (and thus decode's dominant HBM stream) carries only
+        # kv_heads heads — a 4x reduction at this group size
+        assert caches[0][0].shape == (2, 2, GQA.prefix_length, GQA.head_dim)
+
+    def test_decode_matches_full_forward(self):
+        """The grouped single-pass cached read must equal the full forward
+        (same equivalence contract as the MHA TestDecode)."""
+        cfg = GQA
+        model = MakeAScene(cfg)
+        text, seg, img = make_inputs(jax.random.PRNGKey(0), cfg)
+        variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+        full = model.apply(variables, text, seg, img)
+
+        logits0, caches = model.apply(variables, text, seg,
+                                      method=MakeAScene.prefill)
+        from mas_tpu.ops.decode_attention import transpose_cache
+        buf = jnp.zeros((2, cfg.kv_heads, cfg.head_dim, cfg.total_length),
+                        caches[0][0].dtype)
+        caches = tuple(
+            (jax.lax.dynamic_update_slice(buf, transpose_cache(k),
+                                          (0, 0, 0, 0)),
+             jax.lax.dynamic_update_slice(buf, transpose_cache(v),
+                                          (0, 0, 0, 0)))
+            for k, v in caches)
+        got = [logits0]
+        for step in range(cfg.image_length - 1):
+            logits, caches = model.apply(
+                variables, img[:, step:step + 1], step, caches,
+                method=MakeAScene.decode_step)
+            got.append(logits)
+        got = jnp.stack(got, axis=1)
+        np.testing.assert_allclose(np.array(got), np.array(full), atol=2e-4)
+
+    @pytest.mark.parametrize("kv_dtype", ["compute", "int8", "int4"])
+    def test_sampler_runs_quantized(self, kv_dtype):
+        from mas_tpu.models.sampler import sample_tokens
+        cfg = GQA.replace(kv_cache_dtype=kv_dtype)
+        model = MakeAScene(cfg)
+        text, seg, img = make_inputs(jax.random.PRNGKey(0), cfg)
+        variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+        toks = sample_tokens(model, variables, text, seg,
+                             jax.random.PRNGKey(2), guidance_scale=2.0,
+                             top_k=16)
+        assert toks.shape == (2, cfg.image_length)
+        assert int(toks.max()) < cfg.image_vocab_size
+
+    def test_trains_under_grad(self):
+        """The kv-head repeat must be differentiable (gradient segment-sums
+        back onto the shared kv projections)."""
+        model = MakeAScene(GQA)
+        text, seg, img = make_inputs(jax.random.PRNGKey(0), GQA)
+        variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+
+        def loss_fn(params):
+            logits = model.apply({"params": params}, text, seg, img)
+            onehot = jax.nn.one_hot(img, GQA.image_vocab_size)
+            return -(jax.nn.log_softmax(logits) * onehot).sum(-1).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(loss))
+        g = grads["layer_0"]["attn"]["qkv"]["kernel"]
+        kv_dim = GQA.kv_heads * GQA.head_dim
+        assert g.shape == (GQA.hidden_dim, GQA.hidden_dim + 2 * kv_dim)
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_mha_param_layout_unchanged(self):
+        """num_kv_heads=0 (default) must keep the exact reference fused
+        3*hidden qkv projection — checkpoint compatibility."""
+        model = MakeAScene(TINY)
+        text, seg, img = make_inputs(jax.random.PRNGKey(0))
+        variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+        k = variables["params"]["layer_0"]["attn"]["qkv"]["kernel"]
+        assert k.shape == (TINY.hidden_dim, 3 * TINY.hidden_dim)
+
+    def test_config_validation(self):
+        from mas_tpu.utils.config import ConfigError
+        with pytest.raises(ConfigError, match="must divide"):
+            TINY.replace(num_kv_heads=3)
+        with pytest.raises(ConfigError, match="lane"):
+            TINY.replace(num_kv_heads=2, kv_cache_dtype="int8",
+                         kv_cache_layout="packed",
+                         text_length=108)  # total 128-multiple
+        with pytest.raises(ConfigError, match="rudalle"):
+            TINY.replace(num_kv_heads=2, rudalle_relax=True)
