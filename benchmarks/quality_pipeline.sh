@@ -53,4 +53,14 @@ STAGE_TIMEOUT=7000
 
 # 512^2 scale-dtype A/B (the 1408-token geometry reads 2.2x the cache)
 run bench512_s16 python -u bench.py --resolution 512 --kv-scale-dtype bfloat16
+
+# grouped-query attention rows: serving throughput at group 4 (16->4 kv
+# heads; the decode cache stream shrinks 4x) + a matched-schedule quality
+# row (8-head AR stage at kv 2 = the same group factor), recorded as
+# ar_kv2 beside the MHA ar row for FID comparison
+run bench_gqa4   python -u bench.py --quick --kv-heads 4
+run bench512_gqa python -u bench.py --resolution 512 --kv-heads 4
+# eval-prompt count MUST match the MHA ar row (FID is sample-size biased;
+# a smaller sample pool would fake a GQA quality regression)
+run ar_gqa       python -u benchmarks/recon_quality.py ar --pool 16384 --steps-ar 20000 --ar-eval-prompts 128 --ar-kv-heads 2
 echo "quality pipeline complete $(date)"

@@ -274,13 +274,16 @@ TEXT_LEN = 16
 AR_BATCH = 32
 
 
+AR_KV_HEADS = 0   # --ar-kv-heads: GQA quality row (0 = MHA)
+
+
 def ar_cfg() -> TransformerConfig:
     return TransformerConfig(
         num_layers=8, hidden_dim=512, num_attn_heads=8,
         image_vocab_size=8192, seg_vocab_size=1024,
         text_vocab_size=64 + TEXT_LEN, image_tokens_per_dim=RES // 16,
         seg_tokens_per_dim=16, text_length=TEXT_LEN,
-        compute_dtype="bfloat16")
+        compute_dtype="bfloat16", num_kv_heads=AR_KV_HEADS)
 
 
 def scene_text_tokens(batch) -> np.ndarray:
@@ -378,9 +381,13 @@ def stage_ar(steps: int = 4000):
                 j = idx[s:s + AR_BATCH]
                 yield {"text": texts[j], "seg": segs[j], "image": imgs[j]}
 
+    # GQA rows train/checkpoint/record under a distinct name: the param
+    # shapes differ from the MHA run, so sharing a checkpoint dir would
+    # poison resume, and the metrics must not overwrite the MHA row
+    ar_name = f"ar_kv{AR_KV_HEADS}" if AR_KV_HEADS else "ar"
     t0 = time.time()
     state = run_train_transformer(
-        train_cfg("ar", steps, mode="train_transformer",
+        train_cfg(ar_name, steps, mode="train_transformer",
                   batch_size=AR_BATCH, uncond_p=0.1),
         tcfg, token_batches())
     train_s = time.time() - t0
@@ -455,15 +462,15 @@ def stage_ar(steps: int = 4000):
         metrics[f"{kv}_sample_fid_vgg"] = fid_real.fid(fid_s[kv])
 
     save_image(make_grid(grid_rows, nrow=4),
-               grid_path("ar_samples_grid"))
-    record("ar", metrics)
+               grid_path(f"{ar_name}_samples_grid"))
+    record(ar_name, metrics)
 
 
 AR_EVAL_PROMPTS = 32
 
 
 def main():
-    global RES, BATCH, TRAIN_CACHE, CKPT, AR_EVAL_PROMPTS
+    global RES, BATCH, TRAIN_CACHE, CKPT, AR_EVAL_PROMPTS, AR_KV_HEADS
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", nargs="?", default="all",
                     choices=("seg", "img", "ar", "all"))
@@ -476,6 +483,11 @@ def main():
     ap.add_argument("--disc-start", type=int, default=2000)
     ap.add_argument("--steps-ar", type=int, default=4000)
     ap.add_argument("--ar-eval-prompts", type=int, default=32)
+    ap.add_argument("--ar-kv-heads", type=int, default=0,
+                    help="train/eval the AR stage as a GQA architecture "
+                         "with this many shared K/V heads (0 = MHA); "
+                         "records under ar_kv{N} without touching the "
+                         "MHA row")
     ap.add_argument("--ckpt", default=None,
                     help="checkpoint root (default /tmp/recon_q[_512])")
     ap.add_argument("--seg-ckpt", default=None,
@@ -484,6 +496,7 @@ def main():
     args = ap.parse_args()
     RES, BATCH, TRAIN_CACHE = args.res, args.batch, args.pool
     AR_EVAL_PROMPTS = args.ar_eval_prompts
+    AR_KV_HEADS = args.ar_kv_heads
     CKPT = args.ckpt or ("/tmp/recon_q" if RES == 256
                          else f"/tmp/recon_q_{RES}")
     global SEG_CKPT_256

@@ -194,7 +194,8 @@ class SelfAttention(nn.Module):
 
     def decode(self, x, k_cache, v_cache, index):
         """x [B, 1, D]; caches in the TRANSPOSED decode layout
-        [B, H, hd, total]; index = write position.
+        [B, kv_heads, hd, total] (kv_heads == num_attn_heads unless GQA);
+        index = write position.
 
         Attention over the cache is masked to positions <= index (the
         PB-relax max-shift cancels in softmax, so this IS the reference

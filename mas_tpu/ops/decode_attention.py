@@ -51,7 +51,9 @@ def transpose_cache(kv: jax.Array) -> jax.Array:
 
 def decode_attention_jnp(q, k_cache_t, v_cache_t, index):
     """Reference path: full-cache masked attention.
-    q [B, H, 1, d]; caches [B, H, d, T] (transposed); index = write pos."""
+    q [B, H, Q, d]; caches [B, H, d, T] (transposed); index = write pos.
+    Q is 1 for MHA; GQA callers pass q grouped as [B, kv_heads, group, d]
+    (the einsums are generic over the Q axis)."""
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
     s = jnp.einsum("bhqd,bhdk->bhqk",

@@ -95,7 +95,11 @@ def decode_attention_int8(q, k_cache: QuantCache, v_cache: QuantCache,
                           bucket_bounds: tuple = ()):
     """Single-token attention over int8 caches, masked to <= index.
 
-    q [B, H, 1, d] float; returns [B, H, 1, d] in q's dtype.
+    q [B, H, Q, d] float; returns [B, H, Q, d] in q's dtype.  Q is 1 for
+    standard MHA decode; grouped-query callers pass q reshaped to
+    [B, kv_heads, group, d] against [B, kv_heads, d, T] caches — the
+    einsums are generic over the Q axis (jnp path only; the Pallas kernel
+    assumes Q == 1).
 
     impl='jnp' (default): XLA path — int8 operands enter the einsums
     directly (cast fused into the load), scales fold in outside the

@@ -303,10 +303,11 @@ class TransformerConfig(_Base):
         if self.hidden_dim % self.num_attn_heads:
             raise ConfigError("hidden_dim must divide num_attn_heads")
         if self.num_kv_heads:
-            if self.num_attn_heads % self.num_kv_heads:
+            if (self.num_kv_heads < 1
+                    or self.num_attn_heads % self.num_kv_heads):
                 raise ConfigError(
-                    f"num_kv_heads ({self.num_kv_heads}) must divide "
-                    f"num_attn_heads ({self.num_attn_heads})")
+                    f"num_kv_heads ({self.num_kv_heads}) must be a positive "
+                    f"divisor of num_attn_heads ({self.num_attn_heads})")
             if self.num_kv_heads < self.num_attn_heads:
                 if self.rudalle_relax:
                     raise ConfigError(
@@ -321,6 +322,13 @@ class TransformerConfig(_Base):
                         "grouped-query attention supports only "
                         "kv_cache_layout='lane' (the RMW write kernels "
                         "assume full-head caches)")
+                if self.decode_attention_impl in ("pallas",
+                                                  "pallas_interpret"):
+                    raise ConfigError(
+                        "grouped-query attention decodes via the jnp read "
+                        "path only (the Pallas decode kernels assume "
+                        "full-head q); drop the explicit "
+                        "decode_attention_impl")
         if self.text_vocab_size < self.text_length:
             raise ConfigError("text_vocab_size must be >= text_length "
                               "(pad-remap needs text_length trailing slots)")

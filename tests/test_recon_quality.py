@@ -56,7 +56,7 @@ def tiny(tmp_path, monkeypatch):
     return tmp_path
 
 
-def test_all_stages_produce_metrics_and_grids(tiny):
+def test_all_stages_produce_metrics_and_grids(tiny, monkeypatch):
     rq.stage_seg(steps=8)
     rq.stage_img(steps=8, disc_start=4)
     rq.stage_ar(steps=4)
@@ -69,5 +69,24 @@ def test_all_stages_produce_metrics_and_grids(tiny):
     for kv in ("int8", "int4"):
         assert 0.0 <= data[f"ar{sfx}"][f"{kv}_token_agreement"] <= 1.0
         assert data[f"ar{sfx}"][f"{kv}_sample_l1_delta"] >= 0.0
-    assert os.path.exists(os.path.join(rq.RESULTS, "vqimg_recon_grid.png"))
-    assert os.path.exists(os.path.join(rq.RESULTS, "ar_samples_grid.png"))
+    # grids carry the same per-resolution suffix as the metric keys
+    assert os.path.exists(
+        os.path.join(rq.RESULTS, f"vqimg_recon_grid{sfx}.png"))
+    assert os.path.exists(
+        os.path.join(rq.RESULTS, f"ar_samples_grid{sfx}.png"))
+
+    # GQA quality row (--ar-kv-heads): trains/records under ar_kv{N}
+    # without touching the MHA row or checkpoint
+    monkeypatch.setattr(rq, "AR_KV_HEADS", 2)
+    monkeypatch.setattr(rq, "ar_cfg", lambda: TransformerConfig(
+        num_layers=2, hidden_dim=32, num_attn_heads=4, num_kv_heads=2,
+        image_vocab_size=16, seg_vocab_size=16,
+        text_vocab_size=64 + rq.TEXT_LEN, image_tokens_per_dim=2,
+        seg_tokens_per_dim=2, text_length=rq.TEXT_LEN))
+    rq.stage_ar(steps=4)
+    with open(os.path.join(rq.RESULTS, "recon_quality.json")) as f:
+        data = json.load(f)
+    assert f"ar_kv2{sfx}" in data and f"ar{sfx}" in data
+    assert np.isfinite(data[f"ar_kv2{sfx}"]["compute_sample_fid_vgg"])
+    assert os.path.exists(
+        os.path.join(rq.RESULTS, f"ar_kv2_samples_grid{sfx}.png"))

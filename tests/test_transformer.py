@@ -353,11 +353,17 @@ class TestGroupedQueryAttention:
 
     def test_config_validation(self):
         from mas_tpu.utils.config import ConfigError
-        with pytest.raises(ConfigError, match="must divide"):
+        with pytest.raises(ConfigError, match="positive divisor"):
             TINY.replace(num_kv_heads=3)
+        with pytest.raises(ConfigError, match="positive divisor"):
+            TINY.replace(num_kv_heads=-4)
         with pytest.raises(ConfigError, match="lane"):
             TINY.replace(num_kv_heads=2, kv_cache_dtype="int8",
                          kv_cache_layout="packed",
                          text_length=108)  # total 128-multiple
         with pytest.raises(ConfigError, match="rudalle"):
             TINY.replace(num_kv_heads=2, rudalle_relax=True)
+        # explicit pallas decode reads would be silently jnp under GQA —
+        # reject at config time so bench A/Bs can't mislabel themselves
+        with pytest.raises(ConfigError, match="jnp read"):
+            TINY.replace(num_kv_heads=2, decode_attention_impl="pallas")
