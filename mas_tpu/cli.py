@@ -242,6 +242,9 @@ def main(argv=None) -> int:
         print("\n".join(paths))
     elif mode == "sample":
         _run_sample(raw, train_cfg)
+    elif mode == "eval":
+        metrics = _run_eval(raw, train_cfg)
+        print(json.dumps(metrics))
     elif mode == "preprocess_dataset":
         from .data.preprocess import run_preprocessor
 
@@ -262,6 +265,52 @@ def run(argv=None) -> int:
         with open("error.log", "a") as f:
             f.write(traceback.format_exc() + "\n")
         raise
+
+
+def _run_eval(raw: Dict[str, Any], train_cfg: TrainConfig) -> Dict[str, float]:
+    """VQ reconstruction metrics over a dataset (recon L1/MSE/PSNR
+    [+LPIPS for RGB models] + codebook usage/perplexity) — the eval loop
+    the reference never shipped (SURVEY §6: no benchmarks or eval scripts
+    upstream; BASELINE.md sets recon quality as a self-generated target).
+
+    Config: ``model`` (VQModelConfig), ``data``, ``train.checkpoint_dir``
+    + ``train.resume=true`` to restore a trained model (random init
+    otherwise — useful only for pipeline smoke), ``n_eval_batches``
+    (default 8).  LPIPS uses converted torch weights from
+    ``lpips_weights`` when given, else a random-init VGG trunk (ranks
+    models consistently; not the canonical value).
+    """
+    from .eval import evaluate_vq_model
+
+    model_cfg = (VQModelConfig.from_dict(raw["model"]) if "model" in raw
+                 else vq_seg_config())
+    model, variables = _load_vq(raw.get("model", {}),
+                                train_cfg.checkpoint_dir
+                                if train_cfg.resume else None)
+    data_mode = ("pretrain_image" if model_cfg.in_channels == 3
+                 else "pretrain_segmentation")
+    batches = _data_iter(raw.get("data", {}), data_mode,
+                         train_cfg.batch_size, model_cfg)
+    lpips_apply = None
+    if model_cfg.in_channels == 3:
+        import jax
+        import jax.numpy as jnp
+
+        from .losses.lpips import LPIPS, load_lpips_params_from_torch
+
+        lpips = LPIPS()
+        if raw.get("lpips_weights"):
+            lpips_vars = {"params": load_lpips_params_from_torch(
+                raw["lpips_weights"])}
+        else:
+            dummy = jnp.zeros((1, model_cfg.resolution,
+                               model_cfg.resolution, 3), jnp.float32)
+            lpips_vars = lpips.init(jax.random.PRNGKey(1), dummy, dummy)
+        lpips_apply = jax.jit(
+            lambda a, b: jnp.mean(lpips.apply(lpips_vars, a, b)))
+    return evaluate_vq_model(model, variables, batches,
+                             n_batches=raw.get("n_eval_batches", 8),
+                             lpips_apply=lpips_apply)
 
 
 def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:

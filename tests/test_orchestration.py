@@ -146,6 +146,40 @@ def test_cli_seg_smoke(tmp_path):
     assert os.path.exists(tmp_path / "ckpt" / "latest")
 
 
+def test_cli_eval_mode(tmp_path, capsys):
+    """--mode eval: train a tiny VQ-SEG via the CLI, then evaluate the
+    checkpoint — prints a JSON metric dict (recon + codebook stats)."""
+    from mas_tpu.cli import main
+
+    cfg = {
+        "train": {"mode": "pretrain_segmentation", "total_steps": 2,
+                  "batch_size": 2, "log_period": 1, "save_period": 2,
+                  "allow_replicated_batch": True,
+                  "checkpoint_dir": str(tmp_path / "ckpt"),
+                  "optimizer": {"lr": 1e-3}},
+        "model": {"in_channels": 159, "out_channels": 159, "resolution": 32,
+                  "channels": [32, 32], "num_res_blocks": 1,
+                  "attn_resolutions": [],
+                  "z_channels": 32, "embed_dim": 32,
+                  "codebook": {"codebook_size": 16, "codebook_dim": 32,
+                               "init_steps": 1, "reservoir_size": 64}},
+        "loss": {"image_channels": 159},
+        "data": {"kind": "synthetic", "resolution": 32},
+        "n_eval_batches": 2,
+    }
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    assert main(["--config", str(path)]) == 0
+    cfg["train"]["resume"] = True
+    path.write_text(json.dumps(cfg))
+    capsys.readouterr()
+    assert main(["--config", str(path), "--mode", "eval"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(out)
+    assert metrics["psnr"] > 0 and 0 < metrics["used_fraction"] <= 1
+    assert "lpips" not in metrics    # 159-channel model: no VGG metric
+
+
 def test_loop_raises_on_untiled_batch(tmp_path):
     """A global batch that doesn't tile the data axis must raise (not
     silently replicate) unless allow_replicated_batch is set."""
