@@ -57,6 +57,40 @@ def test_seg_train_step_sharded():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_gqa_forward_under_tensor_parallel():
+    """GQA's qkv kernel has a non-3*hidden output dim (hidden + 2*kv_dim);
+    the Megatron column-parallel sharding must still tile it and produce
+    the same logits as the unsharded run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mas_tpu.models.transformer import MakeAScene
+    from mas_tpu.parallel.sharding import transformer_param_shardings
+    from mas_tpu.utils.config import TransformerConfig
+
+    cfg = TransformerConfig(
+        num_layers=2, hidden_dim=64, num_attn_heads=8, num_kv_heads=2,
+        image_vocab_size=64, seg_vocab_size=32, text_vocab_size=32 + 8,
+        image_tokens_per_dim=4, seg_tokens_per_dim=2, text_length=8)
+    model = MakeAScene(cfg)
+    rng = jax.random.PRNGKey(0)
+    text = jax.random.randint(rng, (4, 8), 0, 24)
+    seg = jax.random.randint(rng, (4, 4), 0, 32)
+    img = jax.random.randint(rng, (4, 16), 0, 64)
+    variables = model.init(jax.random.PRNGKey(1), text, seg, img)
+    ref = np.asarray(model.apply(variables, text, seg, img))
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    # qkv output dim = 64 + 2*2*8 = 96, divisible by the 2-way model axis
+    specs = transformer_param_shardings(mesh, variables["params"])
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), variables["params"], specs)
+    data_sh = NamedSharding(mesh, P("data"))
+    out = jax.jit(lambda p, t, s, i: model.apply({"params": p}, t, s, i))(
+        params, jax.device_put(text, data_sh),
+        jax.device_put(seg, data_sh), jax.device_put(img, data_sh))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
 def test_distributed_bootstrap_single_process():
     from mas_tpu.parallel.distributed import initialize, is_primary
 
