@@ -57,7 +57,10 @@ def nll_loss_fn(fns: PerceptualFns, cfg: VQGANLossConfig, images: jax.Array,
     h, w = recon.shape[1], recon.shape[2]
     wmap = box_weight_map(bbox_obj, h, w, cfg.object_weight)
     p = jnp.mean(fns.lpips(images, scale_gradient(recon, wmap)))
-    return l1 + cfg.perceptual_weight * p
+    # pixelloss_weight: the reference stores-but-never-applies it
+    # (loss_img.py:34 self.pixel_weight); here the config knob is live
+    # (default 1.0 = reference behavior)
+    return cfg.pixelloss_weight * l1 + cfg.perceptual_weight * p
 
 
 def generator_step_loss(

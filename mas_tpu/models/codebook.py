@@ -28,7 +28,7 @@ Known deviations (documented, not bugs):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

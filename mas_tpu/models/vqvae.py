@@ -183,6 +183,20 @@ class VQModel(nn.Module):
         z_q = lookup(indices, self.codebook_embedding).astype(_dtype(self.cfg))
         return self.decode_latent(z_q)
 
+    def reconstruct(self, x, quantize: bool = True) -> jax.Array:
+        """encode -> (optionally quantize) -> decode.
+
+        ``quantize=False`` reproduces the train step's BOOTSTRAP
+        pass-through (codebook counter < q_init: latents skip the untrained
+        codebook, ``codebook.quantize_train``) — the reference logs recon
+        grids from the training forward (train.py:43-47), so logging during
+        the pass-through window must skip quantization too or the grids
+        collapse to the random codebook."""
+        z = self.encode_latent(x, train=False)
+        if quantize:
+            z, _ = quantize_eval(z, self.codebook_embedding)
+        return self.decode_latent(z)
+
     def __call__(self, x) -> Tuple[jax.Array, jax.Array]:
         """eval full forward -> (reconstruction, q_loss)  [vqvae.py:36-39]."""
         z = self.encode_latent(x, train=False)

@@ -30,7 +30,8 @@ def kmeans(points: jax.Array, key: jax.Array, n_clusters: int,
 
     ``n_valid`` (traced int) marks only the first ``n_valid`` rows as real
     points (a partially-filled reservoir); init centroids are then sampled
-    uniformly (with replacement) from the valid prefix.
+    uniformly WITHOUT replacement from the valid prefix (distinct whenever
+    n_valid >= n_clusters).
     """
     n, d = points.shape
     pts = points.astype(jnp.float32)
@@ -42,8 +43,18 @@ def kmeans(points: jax.Array, key: jax.Array, n_clusters: int,
             init = jnp.tile(pts, (reps, 1))[:n_clusters]
         valid_n = jnp.ones((n,), bool)
     else:
-        idx = jax.random.randint(key, (n_clusters,), 0,
-                                 jnp.maximum(n_valid, 1))
+        # WITHOUT replacement among the valid prefix (traced n_valid, so no
+        # jnp.random.permutation slice): rank uniform keys, penalize invalid
+        # rows past the top, take the K best.  With-replacement sampling
+        # here seeded ~K²/2N duplicate centroids per re-init; duplicates
+        # survive Lloyd (argmin ties pick the lower index, the twin keeps
+        # count 0 and its position) and became permanently dead codes.
+        # The reference's fast_pytorch_kmeans inits from a randperm.
+        nv = jnp.maximum(n_valid, 1)
+        score = jax.random.uniform(key, (n,)) + 2.0 * (jnp.arange(n) >= nv)
+        _, idx = jax.lax.top_k(-score, n_clusters)    # K smallest scores
+        # n_valid < K only: wrap unavoidable invalid picks onto valid rows
+        idx = jnp.where(idx < nv, idx, idx % nv)
         init = pts[idx]
         valid_n = jnp.arange(n) < n_valid
 

@@ -114,7 +114,9 @@ def run_pretrain_segmentation(train_cfg: TrainConfig,
     hosts."""
     mesh = make_mesh(train_cfg.mesh)
     model = VQModel(model_cfg)
-    tx = make_adam(train_cfg.optimizer)
+    # reference seg loop accumulates at the UNDIVIDED lr (train.py:51-53;
+    # only pretrain_image rescales) — see make_adam
+    tx = make_adam(train_cfg.optimizer, rescale_lr=False)
     state = create_vq_train_state(model, model_cfg, tx,
                                   jax.random.PRNGKey(train_cfg.seed))
     state = _maybe_resume(train_cfg, state)
@@ -125,12 +127,20 @@ def run_pretrain_segmentation(train_cfg: TrainConfig,
     step = make_seg_train_step(model, tx, loss_cfg,
                                from_packed_labels=packed)
     logger = logger or Logger(process_index=jax.process_index())
-    eval_step = make_seg_eval_step(model)
+    recon_fn = jax.jit(
+        lambda p, bs, x, quantize: model.apply(
+            {"params": p, "batch_stats": bs}, x, quantize=quantize,
+            method=VQModel.reconstruct),
+        static_argnames=("quantize",))
     viz = Visualizer()
 
     def image_fn(step_no, st, batch):
         # input ‖ reconstruction grids (reference logs every 500 steps,
-        # log_utils.py:24); seg tensors colorized per group
+        # log_utils.py:24); seg tensors colorized per group.  During the
+        # codebook bootstrap window (counter < q_init) training passes
+        # latents THROUGH (codebook.quantize_train) — the reference logs
+        # that train-forward recon (train.py:43-47), so quantizing here
+        # against the untrained codebook would log garbage grids.
         if step_no % logger.image_period:
             return
         if packed:
@@ -138,7 +148,8 @@ def run_pretrain_segmentation(train_cfg: TrainConfig,
             seg = np.asarray(one_hot_seg_packed(batch["seg_packed"][:4]))
         else:
             seg = batch["mask"][:4]
-        recon, _ = eval_step(st.params, st.batch_stats, seg)
+        quantize = int(st.vq_state.counter) >= model_cfg.codebook.q_init
+        recon = recon_fn(st.params, st.batch_stats, seg, quantize=quantize)
         logger.log(step=step_no,
                    img=viz.colorize(np.asarray(seg))["panoptic"],
                    img_rec=viz.colorize(np.asarray(recon),
@@ -200,17 +211,21 @@ def run_pretrain_image(train_cfg: TrainConfig, model_cfg: VQModelConfig,
                                face_model=face)
     logger = logger or Logger(process_index=jax.process_index())
 
-    @jax.jit
-    def _recon(params, batch_stats, images):
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           images)[0]
+    _recon = jax.jit(
+        lambda p, bs, x, quantize: model.apply(
+            {"params": p, "batch_stats": bs}, x, quantize=quantize,
+            method=VQModel.reconstruct),
+        static_argnames=("quantize",))
 
     def image_fn(step_no, st, batch):
         if step_no % logger.image_period:
             return
         from .steps import to_float_image
         images = to_float_image(batch["image"][:4])
-        recon = _recon(st.params, st.batch_stats, images)
+        # mirror the train forward during the codebook bootstrap window
+        # (pass-through; see run_pretrain_segmentation.image_fn)
+        quantize = int(st.vq_state.counter) >= model_cfg.codebook.q_init
+        recon = _recon(st.params, st.batch_stats, images, quantize=quantize)
         logger.log(step=step_no, img=np.asarray(images),
                    img_rec=np.clip(np.asarray(recon), 0.0, 1.0))
 
@@ -231,7 +246,9 @@ def run_train_transformer(train_cfg: TrainConfig, tcfg: TransformerConfig,
     ``tokenize_batches`` when starting from pixels."""
     mesh = make_mesh(train_cfg.mesh)
     model = MakeAScene(tcfg)
-    tx = make_adam(train_cfg.optimizer)
+    # reference transformer loop accumulates at the UNDIVIDED lr
+    # (train.py:153-156) — see make_adam
+    tx = make_adam(train_cfg.optimizer, rescale_lr=False)
     rng = jax.random.PRNGKey(train_cfg.seed)
     text = jnp.zeros((1, tcfg.text_length), jnp.int32)
     seg = jnp.zeros((1, tcfg.seg_length), jnp.int32)

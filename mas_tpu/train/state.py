@@ -18,12 +18,21 @@ from ..models.codebook import CodebookState, codebook_init_state
 from ..utils.config import OptimizerConfig, VQModelConfig
 
 
-def make_adam(cfg: OptimizerConfig) -> optax.GradientTransformation:
-    """Adam matching the reference schedule: lr is divided by the
-    accumulation factor (``train.py:61-66``) and updates apply every
-    ``accumulate_grad`` micro-steps (``optax.MultiSteps``)."""
-    tx = optax.adam(cfg.lr / max(cfg.accumulate_grad, 1),
-                    b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
+def make_adam(cfg: OptimizerConfig,
+              rescale_lr: bool = True) -> optax.GradientTransformation:
+    """Adam with ``accumulate_grad``-step accumulation (``optax.MultiSteps``).
+
+    ``rescale_lr``: divide lr by the accumulation factor.  The reference
+    does this ONLY in pretrain_image (``train.py:61-66``); its seg and
+    transformer loops accumulate at the undivided lr (``train.py:51-53,
+    153-156`` — plain ``loss.backward()`` summing with a full-lr Adam).
+    Adam's update magnitude is invariant to the summed-vs-averaged
+    gradient scale, so MultiSteps' averaging plus this flag reproduces
+    each stage's effective step size: image loops pass True, seg and
+    transformer loops pass False.
+    """
+    lr = cfg.lr / max(cfg.accumulate_grad, 1) if rescale_lr else cfg.lr
+    tx = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
     if cfg.accumulate_grad > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_grad)
     return tx

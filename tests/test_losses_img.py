@@ -198,3 +198,22 @@ def test_facenet_tap_channels(rng):
     taps = net.apply(variables, x, train=False)
     assert [t.shape[-1] for t in taps] == [64, 256, 512, 1024, 2048]
     assert len(ALPHAS) == 5
+
+
+def test_pixelloss_weight_scales_l1():
+    """pixelloss_weight is a LIVE knob here (the reference stores it but
+    never applies it, loss_img.py:34): the L1 term must scale with it."""
+    import jax.numpy as jnp
+
+    from mas_tpu.losses.vqgan import PerceptualFns, nll_loss_fn
+    from mas_tpu.utils.config import VQGANLossConfig
+
+    fns = PerceptualFns(lpips=lambda a, b: jnp.zeros(()),
+                        disc=lambda x: jnp.zeros(()))
+    img = jnp.zeros((2, 8, 8, 3))
+    rec = jnp.ones((2, 8, 8, 3)) * 0.5
+    boxes = jnp.zeros((2, 1, 4))
+    l_1 = nll_loss_fn(fns, VQGANLossConfig(), img, rec, boxes)
+    l_2 = nll_loss_fn(fns, VQGANLossConfig(pixelloss_weight=2.0),
+                      img, rec, boxes)
+    assert float(l_2) == 2 * float(l_1) != 0.0

@@ -116,3 +116,19 @@ class TestKMeans:
                      iters=5, chunk=32, n_valid=jnp.asarray(64))
         # centroids should live near the valid cluster, not at the zeros
         assert np.all(np.linalg.norm(np.array(got), axis=1) > 50.0)
+
+    def test_init_without_replacement(self):
+        """The n_valid init path must pick DISTINCT rows: with-replacement
+        sampling seeded ~K^2/2N duplicate centroids per re-init, and
+        duplicates survive Lloyd as permanently dead codes (argmin ties
+        pick the lower index; the twin keeps count 0 forever)."""
+        rs = np.random.RandomState(2)
+        pts = rs.randn(300, 4).astype(np.float32)   # all rows distinct
+        # iters=0 isolates the init selection itself
+        got = np.array(kmeans(jnp.asarray(pts), jax.random.PRNGKey(0),
+                              n_clusters=256, iters=0, chunk=64,
+                              n_valid=jnp.asarray(280)))
+        assert len(np.unique(got, axis=0)) == 256
+        # and every pick came from the valid prefix
+        valid = {tuple(r) for r in pts[:280]}
+        assert all(tuple(r) in valid for r in got)

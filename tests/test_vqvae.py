@@ -142,3 +142,59 @@ def test_dropout_active_in_training():
     _, m2 = step(state, seg, jax.random.PRNGKey(20))
     # different dropout masks -> different losses at identical params
     assert float(m1["loss"]) != float(m2["loss"])
+
+
+def test_reconstruct_passthrough_skips_codebook():
+    """VQModel.reconstruct(quantize=False) = the bootstrap-window train
+    forward (latents skip the codebook); quantize=True matches __call__.
+    Logging uses this so early grids aren't collapsed onto the untrained
+    random codebook (reference logs the train-forward recon)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mas_tpu.models.vqvae import VQModel
+    from mas_tpu.utils.config import CodebookConfig, VQModelConfig
+
+    cfg = VQModelConfig(in_channels=3, out_channels=3, channels=(32, 32),
+                        num_res_blocks=1, attn_resolutions=(),
+                        resolution=16, z_channels=32, embed_dim=32,
+                        codebook=CodebookConfig(codebook_size=8,
+                                                codebook_dim=32))
+    model = VQModel(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    r_q = model.apply(variables, x, method=VQModel.reconstruct)
+    r_pt = model.apply(variables, x, quantize=False,
+                       method=VQModel.reconstruct)
+    full, _ = model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(r_q), np.asarray(full), atol=1e-6)
+    assert np.abs(np.asarray(r_pt) - np.asarray(r_q)).max() > 1e-4
+
+
+def test_make_adam_lr_rescale_stage_semantics():
+    """rescale_lr=False (seg/transformer loops) must step ~accum x larger
+    than rescale_lr=True (image loop) — the reference divides lr only in
+    pretrain_image (train.py:61-66)."""
+    import jax.numpy as jnp
+    import optax
+    import pytest
+
+    from mas_tpu.train.state import make_adam
+    from mas_tpu.utils.config import OptimizerConfig
+
+    cfg = OptimizerConfig(lr=1e-3, accumulate_grad=4)
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.ones((4,))}
+
+    def delta(tx):
+        st = tx.init(params)
+        p = params
+        for _ in range(4):   # one full accumulation cycle
+            up, st = tx.update(grads, st, p)
+            p = optax.apply_updates(p, up)
+        return float(jnp.abs(p["w"] - params["w"]).mean())
+
+    ratio = delta(make_adam(cfg, rescale_lr=False)) / delta(
+        make_adam(cfg, rescale_lr=True))
+    assert ratio == pytest.approx(4.0, rel=0.05)
