@@ -126,6 +126,7 @@ def run(batches, iters, resolution=256, decode_impl="auto",
                                     kv_scale_dtype, kv_heads)
     best = 0.0
     best_batch = 0
+    best_spread = {}
     for b in batches:
         text = jnp.zeros((b, tcfg.text_length), jnp.int32)
         seg = jnp.zeros((b, tcfg.seg_length), jnp.int32)
@@ -146,7 +147,13 @@ def run(batches, iters, resolution=256, decode_impl="auto",
             f"median {dt:.3f}s -> {ips:.2f} img/s")
         if ips > best:
             best, best_batch = ips, b
-    return best, best_batch
+            # per-iteration spread: TPU-tunnel contention produces rare
+            # multi-second outliers (BENCH_r03 saw a 10.87 s batch-64
+            # iteration) that a bare median hides — report it
+            best_spread = {"iter_seconds_min": round(min(times), 3),
+                           "iter_seconds_median": round(dt, 3),
+                           "iter_seconds_max": round(max(times), 3)}
+    return best, best_batch, best_spread
 
 
 def main():
@@ -216,11 +223,11 @@ def main():
         batches = [64]         # measured argmax: int4@64 5.15 img/s,
                                # int8@64 3.89, @32 1.45, int4@96 3.77
                                # (fp16@8 was round 1's 0.94 img/s)
-    best, best_batch = run(batches, iters, args.resolution,
-                           args.decode_impl, args.kv_cache,
-                           args.cache_segment, args.ring, args.kv_layout,
-                           args.decode_buckets, args.kv_scale_dtype,
-                           args.kv_heads)
+    best, best_batch, spread = run(batches, iters, args.resolution,
+                                   args.decode_impl, args.kv_cache,
+                                   args.cache_segment, args.ring,
+                                   args.kv_layout, args.decode_buckets,
+                                   args.kv_scale_dtype, args.kv_heads)
 
     from benchmarks.torch_baseline import get_baseline
     base = get_baseline(resolution=args.resolution)
@@ -236,6 +243,7 @@ def main():
                     f"({base['images_per_sec']:.4f} img/s)",
         "batch": best_batch,
         "backend": jax.default_backend(),
+        **spread,
     }))
 
 

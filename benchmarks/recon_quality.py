@@ -129,10 +129,21 @@ def train_cfg(name: str, steps: int, **kw) -> TrainConfig:
                        checkpoint_dir=os.path.join(CKPT, name), **kw)
 
 
+SEG_INIT_STEPS = 200
+
+
 def seg_model_cfg():
+    # init_steps sets the whole phase schedule (CodebookConfig): k-means
+    # re-inits run every init_steps//2 until 30*init_steps and then STOP —
+    # at the round-3 value (200) the last re-init fired at step 6000 of a
+    # 12000-step run and half the codebook was dead by eval.  The
+    # competence schedule passes --seg-init-steps 400 so the re-init
+    # window covers the full run (matching the reference's proportions:
+    # its 6M-step schedule uses init_steps=2000, conf/seg_config.yaml).
     return vq_seg_config(
         compute_dtype="bfloat16",
-        codebook=CodebookConfig(codebook_size=1024, init_steps=200,
+        codebook=CodebookConfig(codebook_size=1024,
+                                init_steps=SEG_INIT_STEPS,
                                 reservoir_size=50_000))
 
 
@@ -170,8 +181,19 @@ def stage_seg(steps: int = 3000):
                            method=VQModel.encode_tokens)
         return seg, recon, toks
 
-    # held-out scenes (fresh seed)
-    accs, bces, all_toks = [], [], []
+    # held-out scenes (fresh seed).  Argmax accuracy is measured per
+    # channel group over ACTIVE pixels only (any gt channel set): the
+    # human-parts [133,153) and face [153,158) groups are all-zero on most
+    # pixels — there argmax(gt)=0 by convention while the (correctly)
+    # all-negative recon logits argmax on noise, so the unmasked metric of
+    # rounds 2-3 mixed a ~1/20 coin flip over ~85% of the image into the
+    # mean (the reported 47.3%/55.3% were metric artifacts, not recon
+    # quality).  The unmasked mean is kept for cross-round continuity.
+    GROUPS = {"panoptic": slice(0, 133), "human": slice(133, 153),
+              "face": slice(153, 158)}
+    correct = {g: 0.0 for g in GROUPS}
+    active = {g: 0.0 for g in GROUPS}
+    unmasked, bces, all_toks = [], [], []
     viz = Visualizer(RESULTS)
     for i, batch in enumerate(seg_batches(seed=999)):
         if i >= 8:
@@ -179,11 +201,14 @@ def stage_seg(steps: int = 3000):
         seg, recon, toks = eval_step(state.params, state.batch_stats,
                                      jnp.asarray(batch["seg_packed"]))
         all_toks.append(np.asarray(toks))
-        # per-pixel argmax accuracy over the panoptic + human groups
-        for sl in (slice(0, 133), slice(133, 153)):
-            accs.append(float(jnp.mean(
-                jnp.argmax(recon[..., sl], -1) == jnp.argmax(seg[..., sl],
-                                                             -1))))
+        for g, sl in GROUPS.items():
+            hit = jnp.argmax(recon[..., sl], -1) == jnp.argmax(seg[..., sl],
+                                                               -1)
+            mask = jnp.sum(seg[..., sl], -1) > 0
+            correct[g] += float(jnp.sum(hit & mask))
+            active[g] += float(jnp.sum(mask))
+            if g != "face":   # the historical unmasked pan+human mean
+                unmasked.append(float(jnp.mean(hit)))
         p = jax.nn.log_sigmoid(recon)
         q = jax.nn.log_sigmoid(-recon)
         bces.append(float(-jnp.mean(seg * p + (1 - seg) * q)))
@@ -192,9 +217,13 @@ def stage_seg(steps: int = 3000):
                 seg=np.asarray(seg), seg_rec=np.asarray(recon))
     cb = codebook_stats(jnp.asarray(np.concatenate(all_toks).ravel()),
                         mcfg.codebook.codebook_size)
+    accs = {f"argmax_acc_{g}": correct[g] / max(active[g], 1.0)
+            for g in GROUPS}
     record("seg", dict(
-        steps=steps, train_seconds=train_s,
-        argmax_accuracy=float(np.mean(accs)), bce=float(np.mean(bces)),
+        steps=steps, train_seconds=train_s, init_steps=SEG_INIT_STEPS,
+        argmax_accuracy=float(np.mean(list(accs.values()))), **accs,
+        argmax_accuracy_unmasked=float(np.mean(unmasked)),
+        bce=float(np.mean(bces)),
         codebook_perplexity=float(cb["perplexity"]),
         codebook_used_fraction=float(cb["used_fraction"])))
 
@@ -483,6 +512,10 @@ def main():
     ap.add_argument("--disc-start", type=int, default=2000)
     ap.add_argument("--steps-ar", type=int, default=4000)
     ap.add_argument("--ar-eval-prompts", type=int, default=32)
+    ap.add_argument("--seg-init-steps", type=int, default=200,
+                    help="codebook phase-schedule base for the seg stage; "
+                         "k-means re-inits run every N//2 steps until "
+                         "30*N (400 covers a 12k-step run)")
     ap.add_argument("--ar-kv-heads", type=int, default=0,
                     help="train/eval the AR stage as a GQA architecture "
                          "with this many shared K/V heads (0 = MHA); "
@@ -497,6 +530,8 @@ def main():
     RES, BATCH, TRAIN_CACHE = args.res, args.batch, args.pool
     AR_EVAL_PROMPTS = args.ar_eval_prompts
     AR_KV_HEADS = args.ar_kv_heads
+    global SEG_INIT_STEPS
+    SEG_INIT_STEPS = args.seg_init_steps
     CKPT = args.ckpt or ("/tmp/recon_q" if RES == 256
                          else f"/tmp/recon_q_{RES}")
     global SEG_CKPT_256
