@@ -1,0 +1,147 @@
+"""Decode cache-READ floor profile (VERDICT r3 #2).
+
+The round-3 trace (`decode_trace.py`) showed the decode scan is ~78%
+attention cache-read kLoop fusions at ~83 us each vs a ~52 us int4
+bandwidth bound.  This bench isolates WHERE the 1.6x surplus lives by
+timing read-only attention variants inside one jitted scan (caches as
+invariants — no write/carry noise; q carried with a serializing
+dependency so steps can't CSE):
+
+  value stream   int4 vs int8 vs bf16 cache dtypes (bandwidth vs unpack)
+  scale stream   with vs without the per-position scale multiplies
+  operand dtype  bf16 vs fp32 einsum operands (convert cost)
+  k-only         score einsum alone vs score+softmax+pv
+
+Run: python benchmarks/read_floor.py  (real TPU; ~4 min)
+"""
+
+import functools
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from mas_tpu.ops.quant import quantize_kv
+
+B, H, D, T = 128, 16, 64, 640
+STEPS = 256
+LAYERS = 24
+_NEG_INF = -1e30
+
+
+def bench(name, body, q0, iters=3, note=""):
+    """scan(body, q, STEPS) in one jit; body must return a new q (the
+    serializing dependency).  Reports per-step (per-layer-token) cost."""
+
+    @jax.jit
+    def run(q):
+        def step(q, i):
+            return body(q, i), ()
+        q, _ = jax.lax.scan(step, q, jnp.arange(STEPS))
+        return q
+
+    out = run(q0)
+    float(jnp.asarray(out).reshape(-1)[0].astype(jnp.float32))
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = run(q0)
+        float(jnp.asarray(out).reshape(-1)[0].astype(jnp.float32))
+        times.append(time.time() - t0)
+    us = sorted(times)[len(times) // 2] / STEPS * 1e6
+    print(f"{name:44s} {us:8.1f} us/step  (x{LAYERS} = "
+          f"{us * LAYERS / 1000:6.2f} ms/token) {note}", flush=True)
+    return us
+
+
+def attn(q, kc, vc, index, cd, with_scales=True, k_only=False):
+    """The shipped _decode_attention_int8_jnp body, parameterized."""
+    s = jnp.einsum("bhqd,bhdk->bhqk",
+                   (q * jnp.asarray(1 / math.sqrt(D), q.dtype)).astype(cd),
+                   kc.q.astype(cd), preferred_element_type=jnp.float32)
+    if with_scales:
+        s = s * kc.scale.astype(jnp.float32)
+    if k_only:
+        return s[..., :D]
+    kpos = jnp.arange(kc.q.shape[3])
+    s = jnp.where((kpos <= index)[None, None, None, :], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    pv = p * vc.scale.astype(jnp.float32) if with_scales else p
+    out = jnp.einsum("bhqk,bhdk->bhqd", pv.astype(cd), vc.q.astype(cd),
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def main():
+    print(f"backend={jax.default_backend()}  B={B} H={H} D={D} T={T} "
+          f"steps={STEPS}", flush=True)
+    rng = jax.random.PRNGKey(0)
+    kv = jax.random.normal(rng, (B, H, D, T), jnp.float32)
+    q0 = jax.random.normal(jax.random.PRNGKey(1), (B, H, 1, D),
+                           jnp.bfloat16)
+    caches = {
+        "int4": quantize_kv(kv, dtype=jnp.int4),
+        "int8": quantize_kv(kv, dtype=jnp.int8),
+        "int8_s16": quantize_kv(kv, dtype=jnp.int8,
+                                scale_dtype=jnp.bfloat16),
+        "int4_s16": quantize_kv(kv, dtype=jnp.int4,
+                                scale_dtype=jnp.bfloat16),
+    }
+    bf16 = kv.astype(jnp.bfloat16)
+
+    def feedback(q, out):
+        # tiny dependency so scan steps serialize without changing cost
+        return q + (out[..., :1] * 1e-6).astype(q.dtype)
+
+    def mk(kc, vc, cd, **kw):
+        def body(q, i):
+            out = attn(q, kc, vc, i, cd, **kw)
+            return feedback(q, out)
+        return body
+
+    # the headline suspects
+    results = {}
+    for name in ("int4", "int8"):
+        kc = vc = caches[name]
+        results[name] = bench(f"{name} full (shipped bf16 operands)",
+                              mk(kc, vc, jnp.bfloat16), q0)
+        bench(f"{name} no-scale (value stream only)",
+              mk(kc, vc, jnp.bfloat16, with_scales=False), q0)
+        bench(f"{name} k-einsum only (+scale)",
+              mk(kc, vc, jnp.bfloat16, k_only=True), q0)
+        bench(f"{name} fp32 operands",
+              mk(kc, vc, jnp.float32), q0.astype(jnp.float32))
+    kc = vc = caches["int4_s16"]
+    bench("int4 bf16-scales", mk(kc, vc, jnp.bfloat16), q0)
+
+    # bf16 cache: no quantization at all — the pure-bandwidth reference
+    def bf16_body(q, i):
+        s = jnp.einsum("bhqd,bhdk->bhqk",
+                       q * jnp.asarray(1 / math.sqrt(D), q.dtype), bf16,
+                       preferred_element_type=jnp.float32)
+        kpos = jnp.arange(T)
+        s = jnp.where((kpos <= i)[None, None, None, :], s, _NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhqk,bhdk->bhqd", p.astype(jnp.bfloat16), bf16,
+                         preferred_element_type=jnp.float32)
+        return feedback(q, out.astype(q.dtype))
+
+    bf = bench("bf16 cache (2x int8 bytes, no dequant)", bf16_body, q0)
+
+    # arithmetic floors at 819 GB/s HBM
+    for name, bytes_ in (("int4", B * H * T * (D // 2 + 4) * 2),
+                         ("int8", B * H * T * (D + 4) * 2),
+                         ("bf16", B * H * T * D * 2 * 2)):
+        print(f"  floor {name}: {bytes_ / 819e9 * 1e6:.1f} us "
+              f"({bytes_ / 1e6:.0f} MB @ 819 GB/s)", flush=True)
+    print(f"measured: int4 {results['int4']:.1f} int8 "
+          f"{results['int8']:.1f} bf16 {bf:.1f} us", flush=True)
+
+
+if __name__ == "__main__":
+    main()
