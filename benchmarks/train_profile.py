@@ -105,10 +105,47 @@ def safe(fn, *a, **kw):
         return None
 
 
+def levers():
+    """Round-4 MFU levers (VERDICT r3 #4): quantify the non-attention
+    surplus by diagnostic subtraction — gelu transcendentals, the four
+    LayerNorm bandwidth passes, optimizer glue — then the retryable
+    config levers (mlp-remat at batch >= 24 with the warm compile cache).
+    Diagnostics change semantics (identity gelu / LN) and are never
+    shipped; they bound what a fused kernel could recover."""
+    print("== levers: diagnostics ==", flush=True)
+    base = bench_step(flagship(), 16, label="baseline (remat nothing)")
+
+    orig_gelu = tfm._gelu
+    tfm._gelu = lambda x: x
+    no_gelu = safe(bench_step, flagship(), 16, label="gelu -> identity")
+    tfm._gelu = orig_gelu
+
+    orig_ln = tfm.LayerNorm.__call__
+    tfm.LayerNorm.__call__ = lambda self, x: x
+    no_ln = safe(bench_step, flagship(), 16, label="ALL LayerNorms -> id")
+    tfm.LayerNorm.__call__ = orig_ln
+
+    for name, ms in (("gelu", no_gelu), ("all-LN", no_ln)):
+        if ms is not None:
+            print(f"{name}: {100 * (base - ms) / base:.1f}% of the step",
+                  flush=True)
+
+    print("== levers: mlp-remat retry (compile cache now persistent) ==",
+          flush=True)
+    for b in (24, 32):
+        safe(bench_step, flagship(remat_policy="mlp"), b,
+             label="remat mlp-only")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--levers", action="store_true",
+                    help="round-4 MFU lever diagnostics only")
     args = ap.parse_args()
+    if args.levers:
+        levers()
+        return
 
     print("== remat / batch ==", flush=True)
     base_ms = bench_step(flagship(), 16, label="baseline (remat nothing)")
