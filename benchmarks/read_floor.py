@@ -119,6 +119,19 @@ def main():
     kc = vc = caches["int4_s16"]
     bench("int4 bf16-scales", mk(kc, vc, jnp.bfloat16), q0)
 
+    # q-axis scaling: if the einsum is VPU-MAC bound its cost scales ~Q
+    # (each query row adds MACs); if HBM-bound it stays flat (same cache
+    # bytes).  Q=4 also emulates the GQA group-4 read shape — if XLA
+    # switches the wider-q contraction onto the MXU, GQA gains compute
+    # relief on top of its 4x bandwidth cut.
+    for qrows in (4, 8):
+        kc = vc = caches["int4"]
+        qq = jax.random.normal(jax.random.PRNGKey(2), (B, H, qrows, D),
+                               jnp.bfloat16)
+        bench(f"int4 full, Q={qrows} rows",
+              mk(kc, vc, jnp.bfloat16), qq,
+              note=f"(VPU-bound => ~{qrows}x Q=1; HBM-bound => flat)")
+
     # bf16 cache: no quantization at all — the pure-bandwidth reference
     def bf16_body(q, i):
         s = jnp.einsum("bhqd,bhdk->bhqk",
