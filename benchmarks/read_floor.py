@@ -132,6 +132,20 @@ def main():
               mk(kc, vc, jnp.bfloat16), qq,
               note=f"(VPU-bound => ~{qrows}x Q=1; HBM-bound => flat)")
 
+    # GQA-shaped reads: kv_heads caches serve group q rows each — SAME
+    # total MACs as MHA (B*H*d*T), 1/group the cache bytes.  If the einsum
+    # is VPU-MAC-bound these only win if XLA routes the group>1
+    # contraction onto the MXU; the timings tell which.
+    for kvh in (4, 1):
+        grp = H // kvh
+        kvs = jax.random.normal(rng, (B, kvh, D, T), jnp.float32)
+        gc = quantize_kv(kvs, dtype=jnp.int4)
+        qg = jax.random.normal(jax.random.PRNGKey(3), (B, kvh, grp, D),
+                               jnp.bfloat16)
+        bench(f"int4 GQA kv_heads={kvh} (group={grp})",
+              mk(gc, gc, jnp.bfloat16), qg,
+              note="(same MACs as MHA, 1/group bytes)")
+
     # bf16 cache: no quantization at all — the pure-bandwidth reference
     def bf16_body(q, i):
         s = jnp.einsum("bhqd,bhdk->bhqk",
