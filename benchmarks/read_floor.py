@@ -34,23 +34,34 @@ LAYERS = 24
 _NEG_INF = -1e30
 
 
-def bench(name, body, q0, iters=3, note=""):
+def bench(name, body, q0, raw_ops, prepare=None, iters=3, note=""):
     """scan(body, q, STEPS) in one jit; body must return a new q (the
-    serializing dependency).  Reports per-step (per-layer-token) cost."""
+    serializing dependency).  Reports per-step (per-layer-token) cost.
+
+    Quantized caches must be BUILT INSIDE the jit (`prepare` maps the
+    fp32/bf16 `raw_ops` arguments to the body's operands): int4 arrays
+    can neither be closed over (HLO constant embedding does a
+    device->host copy the axon backend raises UNIMPLEMENTED on) nor
+    passed as jit arguments (device_put of an S4 array with a tiled
+    layout recursively re-enters jit on this backend).  The shipped
+    sampler never moves them across a jit boundary either — the cache
+    lives in the scan carry.  Prepare cost is amortized: one ~84 MB
+    quantize per run call = <1 us/step over 256 steps."""
 
     @jax.jit
-    def run(q):
+    def run(q, raw):
+        ops = prepare(*raw) if prepare else raw
         def step(q, i):
-            return body(q, i), ()
+            return body(q, i, *ops), ()
         q, _ = jax.lax.scan(step, q, jnp.arange(STEPS))
         return q
 
-    out = run(q0)
+    out = run(q0, raw_ops)
     float(jnp.asarray(out).reshape(-1)[0].astype(jnp.float32))
     times = []
     for _ in range(iters):
         t0 = time.time()
-        out = run(q0)
+        out = run(q0, raw_ops)
         float(jnp.asarray(out).reshape(-1)[0].astype(jnp.float32))
         times.append(time.time() - t0)
     us = sorted(times)[len(times) // 2] / STEPS * 1e6
@@ -84,40 +95,36 @@ def main():
     kv = jax.random.normal(rng, (B, H, D, T), jnp.float32)
     q0 = jax.random.normal(jax.random.PRNGKey(1), (B, H, 1, D),
                            jnp.bfloat16)
-    caches = {
-        "int4": quantize_kv(kv, dtype=jnp.int4),
-        "int8": quantize_kv(kv, dtype=jnp.int8),
-        "int8_s16": quantize_kv(kv, dtype=jnp.int8,
-                                scale_dtype=jnp.bfloat16),
-        "int4_s16": quantize_kv(kv, dtype=jnp.int4,
-                                scale_dtype=jnp.bfloat16),
-    }
-    bf16 = kv.astype(jnp.bfloat16)
+
+    def prep(dtype, scale_dtype=jnp.float32):
+        def prepare(kv):
+            c = quantize_kv(kv, dtype=dtype, scale_dtype=scale_dtype)
+            return (c, c)
+        return prepare
 
     def feedback(q, out):
         # tiny dependency so scan steps serialize without changing cost
         return q + (out[..., :1] * 1e-6).astype(q.dtype)
 
-    def mk(kc, vc, cd, **kw):
-        def body(q, i):
+    def mk(cd, **kw):
+        def body(q, i, kc, vc):
             out = attn(q, kc, vc, i, cd, **kw)
             return feedback(q, out)
         return body
 
     # the headline suspects
     results = {}
-    for name in ("int4", "int8"):
-        kc = vc = caches[name]
+    for name, qd in (("int4", jnp.int4), ("int8", jnp.int8)):
         results[name] = bench(f"{name} full (shipped bf16 operands)",
-                              mk(kc, vc, jnp.bfloat16), q0)
+                              mk(jnp.bfloat16), q0, (kv,), prep(qd))
         bench(f"{name} no-scale (value stream only)",
-              mk(kc, vc, jnp.bfloat16, with_scales=False), q0)
+              mk(jnp.bfloat16, with_scales=False), q0, (kv,), prep(qd))
         bench(f"{name} k-einsum only (+scale)",
-              mk(kc, vc, jnp.bfloat16, k_only=True), q0)
+              mk(jnp.bfloat16, k_only=True), q0, (kv,), prep(qd))
         bench(f"{name} fp32 operands",
-              mk(kc, vc, jnp.float32), q0.astype(jnp.float32))
-    kc = vc = caches["int4_s16"]
-    bench("int4 bf16-scales", mk(kc, vc, jnp.bfloat16), q0)
+              mk(jnp.float32), q0.astype(jnp.float32), (kv,), prep(qd))
+    bench("int4 bf16-scales", mk(jnp.bfloat16), q0, (kv,),
+          prep(jnp.int4, jnp.bfloat16))
 
     # q-axis scaling: if the einsum is VPU-MAC bound its cost scales ~Q
     # (each query row adds MACs); if HBM-bound it stays flat (same cache
@@ -125,11 +132,10 @@ def main():
     # switches the wider-q contraction onto the MXU, GQA gains compute
     # relief on top of its 4x bandwidth cut.
     for qrows in (4, 8):
-        kc = vc = caches["int4"]
         qq = jax.random.normal(jax.random.PRNGKey(2), (B, H, qrows, D),
                                jnp.bfloat16)
         bench(f"int4 full, Q={qrows} rows",
-              mk(kc, vc, jnp.bfloat16), qq,
+              mk(jnp.bfloat16), qq, (kv,), prep(jnp.int4),
               note=f"(VPU-bound => ~{qrows}x Q=1; HBM-bound => flat)")
 
     # GQA-shaped reads: kv_heads caches serve group q rows each — SAME
@@ -139,26 +145,27 @@ def main():
     for kvh in (4, 1):
         grp = H // kvh
         kvs = jax.random.normal(rng, (B, kvh, D, T), jnp.float32)
-        gc = quantize_kv(kvs, dtype=jnp.int4)
         qg = jax.random.normal(jax.random.PRNGKey(3), (B, kvh, grp, D),
                                jnp.bfloat16)
         bench(f"int4 GQA kv_heads={kvh} (group={grp})",
-              mk(gc, gc, jnp.bfloat16), qg,
+              mk(jnp.bfloat16), qg, (kvs,), prep(jnp.int4),
               note="(same MACs as MHA, 1/group bytes)")
 
     # bf16 cache: no quantization at all — the pure-bandwidth reference
-    def bf16_body(q, i):
+    def bf16_body(q, i, kv16, _vc):
         s = jnp.einsum("bhqd,bhdk->bhqk",
-                       q * jnp.asarray(1 / math.sqrt(D), q.dtype), bf16,
+                       q * jnp.asarray(1 / math.sqrt(D), q.dtype), kv16,
                        preferred_element_type=jnp.float32)
         kpos = jnp.arange(T)
         s = jnp.where((kpos <= i)[None, None, None, :], s, _NEG_INF)
         p = jax.nn.softmax(s, axis=-1)
-        out = jnp.einsum("bhqk,bhdk->bhqd", p.astype(jnp.bfloat16), bf16,
+        out = jnp.einsum("bhqk,bhdk->bhqd", p.astype(jnp.bfloat16), kv16,
                          preferred_element_type=jnp.float32)
         return feedback(q, out.astype(q.dtype))
 
-    bf = bench("bf16 cache (2x int8 bytes, no dequant)", bf16_body, q0)
+    bf16 = kv.astype(jnp.bfloat16)
+    bf = bench("bf16 cache (2x int8 bytes, no dequant)", bf16_body, q0,
+               (bf16, bf16))
 
     # arithmetic floors at 819 GB/s HBM
     for name, bytes_ in (("int4", B * H * T * (D // 2 + 4) * 2),
