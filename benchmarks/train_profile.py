@@ -130,6 +130,14 @@ def levers():
             print(f"{name}: {100 * (base - ms) / base:.1f}% of the step",
                   flush=True)
 
+    print("== levers: fused LN kernel (shippable) ==", flush=True)
+    pl_ln = safe(bench_step, flagship(layernorm_impl="pallas"), 16,
+                 label="pallas fused LN")
+    if pl_ln is not None and no_ln is not None:
+        recovered = 100 * (base - pl_ln) / max(base - no_ln, 1e-9)
+        print(f"fused LN recovers {recovered:.0f}% of the all-LN bound "
+              f"({base:.1f} -> {pl_ln:.1f} ms)", flush=True)
+
     print("== levers: mlp-remat retry (compile cache now persistent) ==",
           flush=True)
     for b in (24, 32):

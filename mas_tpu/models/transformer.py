@@ -26,6 +26,7 @@ Decode uses a preallocated KV cache updated via ``dynamic_update_slice``
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -104,13 +105,14 @@ def prefix_causal_mask(q_pos: jax.Array, k_pos: jax.Array,
 
 class LayerNorm(nn.Module):
     eps: float = 1e-5
+    impl: str = "jnp"  # 'jnp' | 'pallas' (cfg.layernorm_impl)
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
-        return layer_norm(x, scale, bias, self.eps)
+        return layer_norm(x, scale, bias, self.eps, impl=self.impl)
 
 
 class SelfAttention(nn.Module):
@@ -499,11 +501,12 @@ class TransformerLayer(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.ln_in = LayerNorm(name="ln_in")
-        self.ln_out = LayerNorm(name="ln_out")
+        ln = functools.partial(LayerNorm, impl=cfg.layernorm_impl)
+        self.ln_in = ln(name="ln_in")
+        self.ln_out = ln(name="ln_out")
         if cfg.cogview_sandwich_layernorm:
-            self.first_ln_sandwich = LayerNorm(name="first_ln_sandwich")
-            self.second_ln_sandwich = LayerNorm(name="second_ln_sandwich")
+            self.first_ln_sandwich = ln(name="first_ln_sandwich")
+            self.second_ln_sandwich = ln(name="second_ln_sandwich")
         self.attn = SelfAttention(cfg, name="attn")
         mlp_cls = MLP
         if cfg.remat and cfg.remat_policy == "mlp":
@@ -602,8 +605,8 @@ class MakeAScene(nn.Module):
                                  policy=policy)
         self.layers = [layer_cls(cfg, name=f"layer_{i}")
                        for i in range(cfg.num_layers)]
-        self.final_ln = LayerNorm(name="final_ln")
-        self.logits_ln = LayerNorm(name="logits_ln")
+        self.final_ln = LayerNorm(name="final_ln", impl=cfg.layernorm_impl)
+        self.logits_ln = LayerNorm(name="logits_ln", impl=cfg.layernorm_impl)
         self.logits_dense = nn.Dense(cfg.image_vocab_size, kernel_init=_INIT,
                                      dtype=_dt(cfg), name="logits_dense")
 

@@ -45,8 +45,16 @@ def group_norm_swish(x: jax.Array, scale: jax.Array, bias: jax.Array,
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
-               eps: float = 1e-5) -> jax.Array:
-    """LayerNorm over the last axis, fp32 stats."""
+               eps: float = 1e-5, impl: str = "jnp") -> jax.Array:
+    """LayerNorm over the last axis, fp32 stats.
+
+    ``impl='pallas'`` routes large-activation shapes through the fused
+    one-pass kernel (``mas_tpu.ops.pallas.layer_norm``) on TPU; small
+    shapes and other backends fall back to this jnp path automatically.
+    """
+    if impl == "pallas":
+        from .pallas.layer_norm import ln_pallas
+        return ln_pallas(x, scale, bias, eps)
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)

@@ -298,8 +298,17 @@ class TransformerConfig(_Base):
     # round 3: 6.96 vs 32.06 img/s at 256²) — the switch branches break
     # the scan carry's in-place aliasing.  Kept as a tested ablation.
     decode_length_buckets: int = 1
+    # LayerNorm implementation: 'jnp' (XLA reduce+map fusions) or 'pallas'
+    # (fused one-pass fwd/bwd kernel, ops/pallas/layer_norm.py — targets
+    # the 12.4%-of-step sandwich-LN cost measured by train_profile
+    # --levers; small shapes auto-fall back to jnp)
+    layernorm_impl: str = "jnp"
 
     def __post_init__(self):
+        if self.layernorm_impl not in ("jnp", "pallas"):
+            raise ConfigError(
+                f"layernorm_impl must be jnp/pallas, got "
+                f"{self.layernorm_impl!r}")
         if self.hidden_dim % self.num_attn_heads:
             raise ConfigError("hidden_dim must divide num_attn_heads")
         if self.num_kv_heads:

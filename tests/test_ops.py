@@ -77,6 +77,49 @@ class TestNorms:
         got = _gn_swish_fwd_pallas(x, s, b, 32, 1e-6, interpret=True)
         np.testing.assert_allclose(np.array(got), np.array(ref), atol=1e-5)
 
+    def test_ln_pallas_fwd_interpret(self):
+        from mas_tpu.ops.pallas.layer_norm import _ln_fwd_pallas
+        # 1024 rows x 1024 d => multiple row tiles (bufs budget caps at 256)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1024, 1024),
+                              jnp.float32)
+        s = jax.random.normal(jax.random.PRNGKey(1), (1024,))
+        b = jax.random.normal(jax.random.PRNGKey(2), (1024,))
+        ref = layer_norm(x, s, b, 1e-5)
+        out = _ln_fwd_pallas(x, s, b, 1e-5, interpret=True)
+        np.testing.assert_allclose(np.array(out), np.array(ref), atol=1e-5)
+
+    def test_ln_pallas_bwd_interpret(self):
+        from mas_tpu.ops.pallas.layer_norm import _ln_bwd_pallas
+        x = jax.random.normal(jax.random.PRNGKey(0), (1024, 1024),
+                              jnp.float32)
+        s = jax.random.normal(jax.random.PRNGKey(1), (1024,))
+        b = jax.random.normal(jax.random.PRNGKey(2), (1024,))
+        g = jax.random.normal(jax.random.PRNGKey(3), (1024, 1024),
+                              jnp.float32)
+        _, vjp = jax.vjp(lambda x_, s_, b_: layer_norm(x_, s_, b_, 1e-5),
+                         x, s, b)
+        dx_ref, ds_ref, db_ref = vjp(g)
+        dx, ds, db = _ln_bwd_pallas(x, g, s, 1e-5, interpret=True)
+        np.testing.assert_allclose(np.array(dx), np.array(dx_ref), atol=2e-5)
+        # dscale/dbias sum 1024 rows; tolerance scales with the reduction
+        np.testing.assert_allclose(np.array(ds), np.array(ds_ref), atol=3e-3)
+        np.testing.assert_allclose(np.array(db), np.array(db_ref), atol=3e-3)
+
+    def test_ln_pallas_cpu_fallback_grads(self):
+        # off-TPU ln_pallas must route to jnp in both fwd and bwd
+        from mas_tpu.ops.pallas.layer_norm import ln_pallas
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 128))
+        s = jnp.ones((128,))
+        b = jnp.zeros((128,))
+        ref, vjp_ref = jax.vjp(
+            lambda x_, s_, b_: layer_norm(x_, s_, b_, 1e-5), x, s, b)
+        got, vjp_got = jax.vjp(
+            lambda x_, s_, b_: ln_pallas(x_, s_, b_, 1e-5), x, s, b)
+        np.testing.assert_allclose(np.array(got), np.array(ref), atol=1e-6)
+        g = jnp.ones_like(ref)
+        for a, e in zip(vjp_got(g), vjp_ref(g)):
+            np.testing.assert_allclose(np.array(a), np.array(e), atol=1e-5)
+
     def test_gn_swish_grad(self):
         from mas_tpu.ops.pallas.gn_swish import gn_swish_pallas
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 32))

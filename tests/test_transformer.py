@@ -367,3 +367,15 @@ class TestGroupedQueryAttention:
         # reject at config time so bench A/Bs can't mislabel themselves
         with pytest.raises(ConfigError, match="jnp read"):
             TINY.replace(num_kv_heads=2, decode_attention_impl="pallas")
+
+
+def test_layernorm_impl_flag_preserves_forward():
+    # layernorm_impl='pallas' must not change params or (off-TPU, via the
+    # jnp fallback) the forward values
+    text, seg, img = make_inputs(jax.random.PRNGKey(0))
+    ref_model = MakeAScene(TINY)
+    variables = ref_model.init(jax.random.PRNGKey(1), text, seg, img)
+    ref = ref_model.apply(variables, text, seg, img)
+    cfg = TINY.replace(layernorm_impl="pallas")
+    got = MakeAScene(cfg).apply(variables, text, seg, img)
+    np.testing.assert_allclose(np.array(got), np.array(ref), atol=1e-6)
