@@ -35,7 +35,7 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
                    kv_cache_dtype: str = "int4", cache_segment: int = 0,
                    ring: bool = False, kv_layout: str = "lane",
                    buckets: int = 1, kv_scale_dtype: str = "float32",
-                   kv_heads: int = 0):
+                   kv_heads: int = 0, q_rows: int = 1):
     from mas_tpu.models.sampler import sample_tokens
     from mas_tpu.models.transformer import MakeAScene
     from mas_tpu.models.vqvae import VQModel
@@ -57,6 +57,9 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
         decode_attention_impl=decode_impl, decode_ring_tail=ring,
         kv_cache_layout=kv_layout, decode_length_buckets=buckets,
         kv_scale_dtype=kv_scale_dtype,
+        decode_q_rows=q_rows,    # pad the decode query to N rows: routes
+                                 # the cache-read contraction onto the MXU
+                                 # (read_floor finding, BASELINE round 4)
         num_kv_heads=kv_heads)   # GQA A/B: fewer kv heads divide the
                                  # decode-dominant cache-read stream
                                  # (DIFFERENT architecture — not the
@@ -120,10 +123,10 @@ def build_pipeline(resolution: int = 256, decode_impl: str = "auto",
 def run(batches, iters, resolution=256, decode_impl="auto",
         kv_cache_dtype="int4", cache_segment=0, ring=False,
         kv_layout="lane", buckets=1, kv_scale_dtype="float32",
-        kv_heads=0):
+        kv_heads=0, q_rows=1):
     pipeline, tcfg = build_pipeline(resolution, decode_impl, kv_cache_dtype,
                                     cache_segment, ring, kv_layout, buckets,
-                                    kv_scale_dtype, kv_heads)
+                                    kv_scale_dtype, kv_heads, q_rows)
     best = 0.0
     best_batch = 0
     best_spread = {}
@@ -193,6 +196,10 @@ def main():
                     choices=("lane", "lane_aliased", "packed"),
                     help="quantized-cache layout/write path "
                          "(see TransformerConfig.kv_cache_layout)")
+    ap.add_argument("--decode-q-rows", type=int, default=1,
+                    help="pad the decode query to N rows (same cache "
+                         "bytes, N-fold MACs) so XLA routes the cache-read "
+                         "contraction onto the MXU; 1 = off")
     ap.add_argument("--kv-heads", type=int, default=0,
                     help="grouped-query attention: number of shared K/V "
                          "heads (0 = 16, the reference MHA architecture; "
@@ -227,7 +234,8 @@ def main():
                                    args.decode_impl, args.kv_cache,
                                    args.cache_segment, args.ring,
                                    args.kv_layout, args.decode_buckets,
-                                   args.kv_scale_dtype, args.kv_heads)
+                                   args.kv_scale_dtype, args.kv_heads,
+                                   args.decode_q_rows)
 
     from benchmarks.torch_baseline import get_baseline
     base = get_baseline(resolution=args.resolution)

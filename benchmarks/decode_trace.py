@@ -59,12 +59,17 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--kv-layout", default="lane")
     ap.add_argument("--kv-cache", default="int4")
+    ap.add_argument("--kv-heads", type=int, default=0,
+                    help="GQA trace: why do 4x-smaller cache reads bench "
+                         "SLOWER end-to-end (22.98 vs 32.35 img/s)?")
+    ap.add_argument("--decode-q-rows", type=int, default=1)
     args = ap.parse_args()
 
     from bench import build_pipeline
 
     pipeline, tcfg = build_pipeline(256, "auto", args.kv_cache, 0, False,
-                                    args.kv_layout)
+                                    args.kv_layout, kv_heads=args.kv_heads,
+                                    q_rows=args.decode_q_rows)
     text = jnp.zeros((args.batch, tcfg.text_length), jnp.int32)
     seg = jnp.zeros((args.batch, tcfg.seg_length), jnp.int32)
     out = pipeline(text, seg, jax.random.PRNGKey(2))

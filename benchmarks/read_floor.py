@@ -151,6 +151,57 @@ def main():
               mk(jnp.bfloat16), qg, (kvs,), prep(jnp.int4),
               note="(same MACs as MHA, 1/group bytes)")
 
+    # shipped zero-pad shape (decode_q_rows): q padded with zero rows and
+    # row 0 sliced back out — confirms the random-rows Q=8 result transfers
+    # to the exact sampler graph (pad + einsums + slice)
+    def mk_padded(rows):
+        def body(q, i, kc, vc):
+            qp = jnp.concatenate(
+                [q, jnp.zeros((B, H, rows - 1, D), q.dtype)], axis=2)
+            out = attn(qp, kc, vc, i, jnp.bfloat16)[:, :, :1]
+            return feedback(q, out)
+        return body
+
+    for rows in (4, 8):
+        bench(f"int4 zero-pad to Q={rows}, slice row0", mk_padded(rows),
+              q0, (kv,), prep(jnp.int4))
+
+    # int8 MXU dots: quantize q per (b,h) row, einsum int8 x int8 -> int32
+    # (v5e MXU has a native int8 path), dequant scores by qs*ks; for pv,
+    # quantize (p * vs) per row to int8.  Converts the VPU dequant-matvec
+    # into MXU work at the cost of two small per-row quantizations.
+    def mk_int8_mxu(rows):
+        def body(q, i, kc, vc):
+            qf = q.astype(jnp.float32) * (1 / math.sqrt(D))
+            if rows > 1:
+                qf = jnp.concatenate(
+                    [qf, jnp.zeros((B, H, rows - 1, D), jnp.float32)],
+                    axis=2)
+            qs = jnp.max(jnp.abs(qf), axis=3, keepdims=True) / 127 + 1e-12
+            qi = jnp.round(qf / qs).astype(jnp.int8)
+            s = jnp.einsum("bhqd,bhdk->bhqk", qi, kc.q.astype(jnp.int8),
+                           preferred_element_type=jnp.int32)
+            s = s.astype(jnp.float32) * qs * kc.scale.astype(jnp.float32)
+            kpos = jnp.arange(kc.q.shape[3])
+            s = jnp.where((kpos <= i)[None, None, None, :], s, _NEG_INF)
+            p = jax.nn.softmax(s, axis=-1)
+            pv = p * vc.scale.astype(jnp.float32)
+            ps = jnp.max(pv, axis=3, keepdims=True) / 127 + 1e-12
+            pi = jnp.round(pv / ps).astype(jnp.int8)
+            o = jnp.einsum("bhqk,bhdk->bhqd", pi, vc.q.astype(jnp.int8),
+                           preferred_element_type=jnp.int32)
+            out = o.astype(jnp.float32) * ps
+            return feedback(q, out[:, :, :1])
+        return body
+
+    for rows in (1, 8):
+        try:
+            bench(f"int8 MXU dots (quantized q), Q={rows}",
+                  mk_int8_mxu(rows), q0, (kv,), prep(jnp.int8))
+        except Exception as e:   # int8 dot support is backend-dependent
+            print(f"int8 MXU dots Q={rows}: FAILED "
+                  f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+
     # bf16 cache: no quantization at all — the pure-bandwidth reference
     def bf16_body(q, i, kv16, _vc):
         s = jnp.einsum("bhqd,bhdk->bhqk",

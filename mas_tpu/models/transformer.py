@@ -231,6 +231,18 @@ class SelfAttention(nn.Module):
         group = cfg.num_attn_heads // cfg.kv_heads
         q = q.reshape(b, cfg.kv_heads, group, cfg.head_dim)
         gqa = group > 1
+        # Query-row padding (read_floor finding, BASELINE round 4): the Q=1
+        # batched matvec lowers to a pathological VPU kLoop fusion; padding
+        # q with zero rows — same cache bytes, rows× the MACs — lets XLA
+        # route the contraction onto the MXU (isolated: 468 → 328 µs/step
+        # at serving geometry).  Zero rows are numerically inert (softmax
+        # is per-row) and sliced back off below.  Config validation
+        # restricts decode_q_rows > 1 to the jnp 'lane' decode path.
+        pad_rows = max(cfg.decode_q_rows, group) - group
+        if pad_rows:
+            q = jnp.concatenate(
+                [q, jnp.zeros((b, cfg.kv_heads, pad_rows, cfg.head_dim),
+                              q.dtype)], axis=2)
         # Write kernels (aliased RMW) follow the prefill attention impl
         # under 'auto'; the fused READ kernel never does — it is a measured
         # 6x end-to-end loser at serving geometry (batch-chunked DMA
@@ -269,13 +281,15 @@ class SelfAttention(nn.Module):
                     k_cache, k_new.transpose(0, 1, 3, 2), index)
                 v_cache = update_quant_cache(
                     v_cache, v_new.transpose(0, 1, 3, 2), index)
-            impl = (read_impl if not gqa and read_impl in
+            impl = (read_impl if not gqa and not pad_rows and read_impl in
                     ("pallas", "pallas_interpret") else "jnp")
             ctx = decode_attention_int8(
                 q, k_cache, v_cache, index, impl=impl,
                 bucket_bounds=_length_buckets(
                     k_cache.q.shape[3], cfg.decode_length_buckets,
                     cfg.prefix_length))
+            if pad_rows:
+                ctx = ctx[:, :, :group]
             # [B, kv_heads, group, hd] flattens to head order h = kv*g + g'
             # — the same grouping the q reshape above used (identical to
             # the MHA transpose+reshape when group == 1)
@@ -298,9 +312,11 @@ class SelfAttention(nn.Module):
             ctx = ctx.reshape(b, 1, cfg.hidden_dim)
             ctx = (ctx / _detached_max(ctx)).astype(_dt(cfg))
             return self.out_proj(ctx), (k_cache, v_cache)
-        impl = (decode_impl if not gqa and decode_impl in
+        impl = (decode_impl if not gqa and not pad_rows and decode_impl in
                 ("pallas", "pallas_interpret") else "jnp")
         ctx = decode_attention(q, k_cache, v_cache, index, impl=impl)
+        if pad_rows:
+            ctx = ctx[:, :, :group]
         ctx = ctx.reshape(b, 1, cfg.hidden_dim)
         return self.out_proj(ctx), (k_cache, v_cache)
 

@@ -298,6 +298,21 @@ class TransformerConfig(_Base):
     # round 3: 6.96 vs 32.06 img/s at 256²) — the switch branches break
     # the scan carry's in-place aliasing.  Kept as a tested ablation.
     decode_length_buckets: int = 1
+    # decode query-row padding (jnp read path, quantized or float caches):
+    # pad the single decode query to this many rows before the cached
+    # attention einsums and slice row 0 back out afterwards.  Motivation
+    # (benchmarks/read_floor.py, BASELINE round 4): the isolated Q=1
+    # batched matvec lowers to a pathological VPU kLoop fusion — padding q
+    # to 4/8 rows (same cache bytes, 4-8x the MACs) runs 30% FASTER because
+    # XLA routes the wider contraction onto the MXU.  1 = off (shipped
+    # default unless the end-to-end A/B says otherwise; see BASELINE).
+    # Numerics: exact in exact arithmetic (zero rows are inert — proven
+    # bitwise on CPU, tests/test_decode_cache.py::TestDecodeQRows); on TPU
+    # the wider einsum changes bf16/MXU accumulation order, so sampled
+    # trajectories are NOT bitwise-reproducible vs rows=1 (single-step
+    # outputs agree to accumulation tolerance; same determinism-vs-quality
+    # distinction as the quantized caches, BASELINE.md).
+    decode_q_rows: int = 1
     # LayerNorm implementation: 'jnp' (XLA reduce+map fusions) or 'pallas'
     # (fused one-pass fwd/bwd kernel, ops/pallas/layer_norm.py — targets
     # the 12.4%-of-step sandwich-LN cost measured by train_profile
@@ -356,6 +371,20 @@ class TransformerConfig(_Base):
                 "quantized cache)")
         if self.decode_length_buckets < 1:
             raise ConfigError("decode_length_buckets must be >= 1")
+        if self.decode_q_rows < 1:
+            raise ConfigError("decode_q_rows must be >= 1")
+        if self.decode_q_rows > 1:
+            if self.rudalle_relax or self.decode_ring_tail:
+                raise ConfigError(
+                    "decode_q_rows > 1 supports only the default decode "
+                    "path (no rudalle_relax, no decode_ring_tail)")
+            if self.kv_cache_layout != "lane":
+                raise ConfigError(
+                    "decode_q_rows > 1 requires kv_cache_layout='lane'")
+            if self.decode_attention_impl in ("pallas", "pallas_interpret"):
+                raise ConfigError(
+                    "decode_q_rows > 1 uses the jnp read path only (the "
+                    "Pallas decode kernels assume a single query row)")
         if self.kv_scale_dtype not in ("float32", "bfloat16"):
             raise ConfigError(
                 f"kv_scale_dtype must be float32/bfloat16, got "

@@ -247,6 +247,53 @@ class TestLaneAliased:
                                       np.asarray(toks_lane))
 
 
+class TestDecodeQRows:
+    """Query-row padding (decode_q_rows, BASELINE round 4): zero rows are
+    numerically inert — the sampler's token trajectory must be identical
+    to the unpadded path for quantized AND float caches, MHA and GQA."""
+
+    def _sample(self, cfg_kw, seed=0):
+        from mas_tpu.models.sampler import sample_tokens
+        from mas_tpu.models.transformer import MakeAScene
+        from mas_tpu.utils.config import TransformerConfig
+
+        cfg = TransformerConfig(**_BASE, **cfg_kw)
+        rng = jax.random.PRNGKey(seed)
+        text = jax.random.randint(rng, (2, 48), 1, 100)
+        seg = jax.random.randint(rng, (2, 16), 0, 128)
+        m = MakeAScene(cfg)
+        variables = m.init(jax.random.PRNGKey(1), text, seg,
+                           jnp.zeros((2, 64), jnp.int32))
+        return sample_tokens(m, variables, text, seg, jax.random.PRNGKey(2),
+                             guidance_scale=2.0, top_k=8)
+
+    @pytest.mark.parametrize("cache", ["compute", "int8", "int4"])
+    @pytest.mark.parametrize("rows", [4, 8])
+    def test_identical_tokens(self, cache, rows):
+        base = self._sample(dict(kv_cache_dtype=cache))
+        padded = self._sample(dict(kv_cache_dtype=cache,
+                                   decode_q_rows=rows))
+        np.testing.assert_array_equal(np.asarray(padded), np.asarray(base))
+
+    def test_identical_tokens_gqa(self):
+        base = self._sample(dict(kv_cache_dtype="int8", num_kv_heads=2))
+        padded = self._sample(dict(kv_cache_dtype="int8", num_kv_heads=2,
+                                   decode_q_rows=8))
+        np.testing.assert_array_equal(np.asarray(padded), np.asarray(base))
+
+    def test_config_gating(self):
+        from mas_tpu.utils.config import ConfigError, TransformerConfig
+
+        with pytest.raises(ConfigError, match="decode_q_rows"):
+            TransformerConfig(**_BASE, decode_q_rows=0)
+        with pytest.raises(ConfigError, match="jnp read path"):
+            TransformerConfig(**_BASE, decode_q_rows=4,
+                              decode_attention_impl="pallas")
+        with pytest.raises(ConfigError, match="lane"):
+            TransformerConfig(**_BASE, kv_cache_dtype="int8",
+                              kv_cache_layout="packed", decode_q_rows=4)
+
+
 class TestLengthBuckets:
     """Length-bucketed decode reads (VERDICT r3: skip the dead cache tail
     without splitting the scan carry)."""
