@@ -234,10 +234,13 @@ class SelfAttention(nn.Module):
         # Query-row padding (read_floor finding, BASELINE round 4): the Q=1
         # batched matvec lowers to a pathological VPU kLoop fusion; padding
         # q with zero rows — same cache bytes, rows× the MACs — lets XLA
-        # route the contraction onto the MXU (isolated: 468 → 328 µs/step
-        # at serving geometry).  Zero rows are numerically inert (softmax
-        # is per-row) and sliced back off below.  Config validation
-        # restricts decode_q_rows > 1 to the jnp 'lane' decode path.
+        # route the contraction onto the MXU (isolated: 471 → 258 µs/step
+        # at serving geometry).  MEASURED END-TO-END LOSER: 7.36 img/s vs
+        # 32.4 — the widened [B,H,rows,T] intermediates lose the scan's
+        # read-fusion overlap (BASELINE round 4); kept as a tested
+        # ablation.  Zero rows are numerically inert (softmax is per-row)
+        # and sliced back off below.  Config validation restricts
+        # decode_q_rows > 1 to the jnp 'lane' decode path.
         pad_rows = max(cfg.decode_q_rows, group) - group
         if pad_rows:
             q = jnp.concatenate(

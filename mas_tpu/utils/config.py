@@ -303,9 +303,13 @@ class TransformerConfig(_Base):
     # attention einsums and slice row 0 back out afterwards.  Motivation
     # (benchmarks/read_floor.py, BASELINE round 4): the isolated Q=1
     # batched matvec lowers to a pathological VPU kLoop fusion — padding q
-    # to 4/8 rows (same cache bytes, 4-8x the MACs) runs 30% FASTER because
-    # XLA routes the wider contraction onto the MXU.  1 = off (shipped
-    # default unless the end-to-end A/B says otherwise; see BASELINE).
+    # to 4/8 rows (same cache bytes, 4-8x the MACs) runs 30-45% FASTER
+    # isolated because XLA routes the wider contraction onto the MXU.
+    # MEASURED END-TO-END LOSER (BASELINE round 4): 7.36 img/s (rows=4) /
+    # 5.91 (rows=8) vs 32.4 shipped at 256²/batch 64/int4 — the widened
+    # [B,H,rows,T] score/softmax/pv intermediates lose the scan's
+    # read-fusion overlap.  Kept as a tested ablation (default 1 = off),
+    # like decode_length_buckets.
     # Numerics: exact in exact arithmetic (zero rows are inert — proven
     # bitwise on CPU, tests/test_decode_cache.py::TestDecodeQRows); on TPU
     # the wider einsum changes bf16/MXU accumulation order, so sampled
