@@ -4,15 +4,23 @@
 # failed on the then-missing 512^2 img checkpoint; it exists now, and
 # tail-4 extends it to 12k steps first).  Trains the 8L/512h AR model on
 # frozen VQ tokens at the full 1408-token paper geometry and measures
-# held-out sample FID on 32 prompts.  Checkpoints under /tmp/recon_q512
-# make the stage resumable if the round ends mid-run.
+# held-out sample FID on 32 prompts.
+#
+# DEADLINE GUARD: the driver re-benches on this chip at round end; a
+# training job still running then would poison BENCH_r04.  The stage only
+# starts if enough wall clock remains (START_CUTOFF) and is timed out to
+# finish by HARD_END either way.  Checkpoints under /tmp/recon_q512 make
+# a killed run resumable on the same machine.
 # Per-stage commit discipline as run_round4_tail2.sh.
 #
-# Usage: bash benchmarks/run_round4_tail5.sh <wait-pid> [logdir]
+# Usage: bash benchmarks/run_round4_tail5.sh <wait-pid> [logdir] \
+#            [start-cutoff-epoch] [hard-end-epoch]
 set -u
 cd "$(dirname "$0")/.."
 WAIT_PID=${1:?pid of the tail-4 runner}
 LOG=${2:-/root/qlogs}
+START_CUTOFF=${3:?epoch seconds after which ar512 must not start}
+HARD_END=${4:?epoch seconds by which the chip must be idle}
 RUN_ID="y$(date +%Y%m%d_%H%M%S)"
 echo "run id $RUN_ID  waiting on pid $WAIT_PID  logs in $LOG"
 
@@ -34,22 +42,17 @@ No-Verification-Needed: benchmark-result artifacts only, no product code" \
   fi
 }
 
-run() {  # run <tag> <cmd...>
-  tag=$1; shift
-  echo "start $tag $(date)"
-  timeout "${STAGE_TIMEOUT:-4000}" "$@" > "$LOG/${tag}_run.log" 2>&1
-  rc=$?
-  echo "done $tag exit=$rc $(date)"
-  j=$(grep -h '^{"metric"' "$LOG/${tag}_run.log" | tail -1)
-  if [ -n "$j" ]; then
-    mkdir -p results
-    echo "{\"run_id\": \"$RUN_ID\", \"tag\": \"$tag\", \"exit\": $rc, \"line\": $j}" \
-      >> results/bench_lines.jsonl
-  fi
-  commit_results "$tag" "$rc"
-}
-
-STAGE_TIMEOUT=7200
-run ar512 python -u benchmarks/recon_quality.py ar --res 512 --pool 4096 \
-    --steps-ar 6000 --ar-eval-prompts 32
+NOW=$(date +%s)
+if [ "$NOW" -ge "$START_CUTOFF" ]; then
+  echo "past start cutoff ($(date)) — skipping ar512 to keep the chip idle"
+  exit 0
+fi
+BUDGET=$(( HARD_END - NOW ))
+echo "start ar512 $(date)  budget ${BUDGET}s"
+timeout "$BUDGET" python -u benchmarks/recon_quality.py ar --res 512 \
+    --pool 4096 --steps-ar 3000 --ar-eval-prompts 32 \
+    > "$LOG/ar512_run.log" 2>&1
+rc=$?
+echo "done ar512 exit=$rc $(date)"
+commit_results ar512 "$rc"
 echo "round-4 tail-5 complete $(date)"
