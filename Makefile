@@ -19,6 +19,8 @@ bench512:        ## 1408-token paper-geometry serving bench
 	python -u bench.py --resolution 512
 
 dryrun:          ## multi-chip sharding dry run on an 8-device virtual mesh
+	MAS_TPU_DRYRUN_CPU=1 JAX_PLATFORMS=cpu \
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 verify-tpu:      ## smoke the library end-to-end on the real TPU chip
