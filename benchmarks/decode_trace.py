@@ -51,7 +51,14 @@ def aggregate(trace_dir):
             continue
         by_name[tid_name] += e["dur"]
         total += e["dur"]
-    return by_name, total, path
+    # op-family totals: individual DUS/copy ops are each ~0.3% and fall
+    # below the top-30 cut, but their SUM is the whole story when carry
+    # aliasing breaks (the GQA regression: 1.32 s of DUS + 0.47 s of copy
+    # in a 2.79 s iteration — BASELINE round 4)
+    by_family = defaultdict(float)
+    for name, dur in by_name.items():
+        by_family[name.split(".")[0]] += dur
+    return by_name, by_family, total, path
 
 
 def main():
@@ -78,9 +85,13 @@ def main():
     with jax.profiler.trace(trace_dir):
         out = pipeline(text, seg, jax.random.PRNGKey(3))
         float(out.mean())
-    by_name, total, path = aggregate(trace_dir)
+    by_name, by_family, total, path = aggregate(trace_dir)
     print(f"trace: {path}")
     print(f"total device op time: {total / 1e3:.1f} ms")
+    print("-- op-family totals --")
+    for name, dur in sorted(by_family.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"{dur / 1e3:9.2f} ms  {100 * dur / total:5.1f}%  {name[:90]}")
+    print("-- top individual ops --")
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{dur / 1e3:9.2f} ms  {100 * dur / total:5.1f}%  {name[:90]}")
 
