@@ -273,7 +273,16 @@ def _lane_write_kernel(idx_ref, kq_new, ks_new, vq_new, vs_new,
                        kblk, vblk, ksblk, vsblk, sems):
     """RMW the 128-lane block containing ``index`` of all four aliased
     lane-layout cache buffers (k/v values [B, H, d, T], scales
-    [B, H, 1, T]).  Grid over batch chunks bounds VMEM."""
+    [B, H, 1, T]).  Grid over batch chunks bounds VMEM.
+
+    All four input DMAs are issued CONCURRENTLY, then all four writebacks
+    — two DMA-latency round trips per chunk instead of the eight the
+    round-3 version serialized (start/wait per buffer per direction).
+    The RMW is latency-bound, not bandwidth-bound (the blocks total ~2-8
+    MB against 819 GB/s), so round trips are the whole cost; this is the
+    GQA write-path lever named in BASELINE round 4 (the [B, kv, d, T]
+    grouped carries lose DUS in-place aliasing in XLA and copy 10.5 MB
+    per cache per token — 1.79 s of each 2.79 s GQA iteration)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -283,12 +292,25 @@ def _lane_write_kernel(idx_ref, kq_new, ks_new, vq_new, vs_new,
     base = (idx // _SCALE_BLK) * _SCALE_BLK
     lane = idx - base
 
-    def rmw(out_ref, blk, new, sem, d3):
-        cp_in = pltpu.make_async_copy(
-            out_ref.at[pl.ds(i * bc, bc), :, :, pl.ds(base, _SCALE_BLK)],
-            blk, sem)
-        cp_in.start()
-        cp_in.wait()
+    targets = ((kq_out, kblk, kq_new), (vq_out, vblk, vq_new),
+               (ks_out, ksblk, ks_new), (vs_out, vsblk, vs_new))
+
+    def copies(direction):
+        cps = []
+        for s, (out_ref, blk, _) in enumerate(targets):
+            hbm = out_ref.at[pl.ds(i * bc, bc), :, :,
+                             pl.ds(base, _SCALE_BLK)]
+            cps.append(pltpu.make_async_copy(hbm, blk, sems.at[s])
+                       if direction == "in" else
+                       pltpu.make_async_copy(blk, hbm, sems.at[s]))
+        return cps
+
+    for c in copies("in"):
+        c.start()
+    for c in copies("in"):
+        c.wait()
+    for _, blk, new in targets:
+        d3 = blk.shape[2]
         h = blk.shape[1]
         lanes = jax.lax.broadcasted_iota(
             jnp.int32, (bc, h, d3, _SCALE_BLK), 3)
@@ -301,18 +323,10 @@ def _lane_write_kernel(idx_ref, kq_new, ks_new, vq_new, vs_new,
         else:
             blk[:] = jnp.where(lanes == lane, newc.astype(blk.dtype),
                                blk[:])
-        cp_out = pltpu.make_async_copy(
-            blk,
-            out_ref.at[pl.ds(i * bc, bc), :, :, pl.ds(base, _SCALE_BLK)],
-            sem)
-        cp_out.start()
-        cp_out.wait()
-
-    d = kblk.shape[2]
-    rmw(kq_out, kblk, kq_new, sems.at[0], d)
-    rmw(vq_out, vblk, vq_new, sems.at[1], d)
-    rmw(ks_out, ksblk, ks_new, sems.at[2], 1)
-    rmw(vs_out, vsblk, vs_new, sems.at[3], 1)
+    for c in copies("out"):
+        c.start()
+    for c in copies("out"):
+        c.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -325,10 +339,11 @@ def _lane_write_pallas(kq, ks, vq, vs, kq_new, ks_new, vq_new, vs_new,
     assert t % _SCALE_BLK == 0, (t, _SCALE_BLK)
     idx = jnp.asarray(index, jnp.int32).reshape(1)
 
-    # batch-chunk so the two value blocks stay ~2 MB each
+    # batch-chunk so the two value blocks stay ~4 MB each (the RMW is
+    # latency-bound: fewer, larger chunks = fewer DMA round trips)
     itemsize = 0.5 if kq.dtype == jnp.int4 else kq.dtype.itemsize
     bc = b
-    while bc > 1 and bc * h * d * _SCALE_BLK * itemsize > 2 * 1024 * 1024:
+    while bc > 1 and bc * h * d * _SCALE_BLK * itemsize > 4 * 1024 * 1024:
         assert bc % 2 == 0, (b, h, d)
         bc //= 2
     # caches stay HBM-resident (pltpu.ANY may resolve to VMEM)
@@ -346,8 +361,8 @@ def _lane_write_pallas(kq, ks, vq, vs, kq_new, ks_new, vq_new, vs_new,
         scratch_shapes=[
             pltpu.VMEM((bc, h, d, _SCALE_BLK), kq.dtype),
             pltpu.VMEM((bc, h, d, _SCALE_BLK), vq.dtype),
-            pltpu.VMEM((bc, h, 1, _SCALE_BLK), jnp.float32),
-            pltpu.VMEM((bc, h, 1, _SCALE_BLK), jnp.float32),
+            pltpu.VMEM((bc, h, 1, _SCALE_BLK), ks.dtype),
+            pltpu.VMEM((bc, h, 1, _SCALE_BLK), vs.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -375,11 +390,16 @@ def update_quant_caches_aliased(k_cache, v_cache, k_new_t, v_new_t, index,
     pair (k, v); drop-in replacement for two ``update_quant_cache`` calls
     (``ops/quant.py``) that removes the whole-cache carry copies XLA
     makes for DUS inside the decode scan.  ``*_new_t`` are [B, H, d, 1]
-    float."""
+    float.  Shape-generic over the head axis: grouped-query caches
+    ([B, kv_heads, d, T]) go through the same kernel — and THERE the
+    aliased write is the winning path, because XLA stops in-placing the
+    grouped DUS carries entirely (BASELINE round 4, trace_gqa4)."""
     from .quant import QuantCache, quantize_kv
 
-    kq = quantize_kv(k_new_t, dtype=k_cache.q.dtype)
-    vq = quantize_kv(v_new_t, dtype=v_cache.q.dtype)
+    kq = quantize_kv(k_new_t, dtype=k_cache.q.dtype,
+                     scale_dtype=k_cache.scale.dtype)
+    vq = quantize_kv(v_new_t, dtype=v_cache.q.dtype,
+                     scale_dtype=v_cache.scale.dtype)
     if impl == "jnp":
         z = jnp.zeros((), jnp.int32)
         idx = jnp.asarray(index, jnp.int32)

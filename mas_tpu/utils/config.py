@@ -345,11 +345,11 @@ class TransformerConfig(_Base):
                     raise ConfigError(
                         "grouped-query attention supports only the default "
                         "decode path; disable decode_ring_tail")
-                if self.kv_cache_layout != "lane":
+                if self.kv_cache_layout == "packed":
                     raise ConfigError(
-                        "grouped-query attention supports only "
-                        "kv_cache_layout='lane' (the RMW write kernels "
-                        "assume full-head caches)")
+                        "grouped-query attention supports "
+                        "kv_cache_layout 'lane' or 'lane_aliased' (the "
+                        "packed write kernel assumes full-head caches)")
                 if self.decode_attention_impl in ("pallas",
                                                   "pallas_interpret"):
                     raise ConfigError(

@@ -220,6 +220,84 @@ class TestLaneAliased:
                         jax.tree.leaves((b_k, b_v))):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.int4])
+    @pytest.mark.parametrize("index", [0, 130, 255])
+    def test_interpret_matches_jnp_gqa_shapes(self, dtype, index):
+        """Grouped-query caches ([B, kv_heads, d, T], kv_heads < H) go
+        through the same kernel — the GQA write-path lever (BASELINE r4:
+        XLA stops in-placing grouped DUS carries, so on TPU the aliased
+        RMW replaces a 10.5 MB whole-cache copy per cache per token)."""
+        from mas_tpu.ops.decode_cache import update_quant_caches_aliased
+        from mas_tpu.ops.quant import quantize_kv
+
+        ks = jax.random.split(jax.random.PRNGKey(3), 4)
+        kc = quantize_kv(jax.random.normal(ks[0], (4, 2, 64, 256)),
+                         dtype=dtype)   # 2 kv heads serving 8 q heads
+        vc = quantize_kv(jax.random.normal(ks[1], (4, 2, 64, 256)),
+                         dtype=dtype)
+        kn = jax.random.normal(ks[2], (4, 2, 64, 1))
+        vn = jax.random.normal(ks[3], (4, 2, 64, 1))
+        a = update_quant_caches_aliased(kc, vc, kn, vn, jnp.int32(index),
+                                        impl="pallas_interpret")
+        b = update_quant_caches_aliased(kc, vc, kn, vn, jnp.int32(index),
+                                        impl="jnp")
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(
+                np.asarray(x.astype(jnp.float32)),
+                np.asarray(y.astype(jnp.float32)))
+
+    def test_interpret_matches_jnp_bf16_scales(self):
+        """The kernel is scale-dtype generic (scratch/new dtypes follow
+        the cache); the quantization must also happen against the ROUNDED
+        stored scale on both impls."""
+        from mas_tpu.ops.decode_cache import update_quant_caches_aliased
+        from mas_tpu.ops.quant import quantize_kv
+
+        ks = jax.random.split(jax.random.PRNGKey(4), 4)
+        kc = quantize_kv(jax.random.normal(ks[0], (2, 2, 64, 128)),
+                         scale_dtype=jnp.bfloat16)
+        vc = quantize_kv(jax.random.normal(ks[1], (2, 2, 64, 128)),
+                         scale_dtype=jnp.bfloat16)
+        kn = jax.random.normal(ks[2], (2, 2, 64, 1))
+        vn = jax.random.normal(ks[3], (2, 2, 64, 1))
+        a = update_quant_caches_aliased(kc, vc, kn, vn, jnp.int32(65),
+                                        impl="pallas_interpret")
+        b = update_quant_caches_aliased(kc, vc, kn, vn, jnp.int32(65),
+                                        impl="jnp")
+        assert a[0].scale.dtype == jnp.bfloat16
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(
+                np.asarray(x.astype(jnp.float32)),
+                np.asarray(y.astype(jnp.float32)))
+
+    def test_sampler_identical_tokens_gqa_vs_lane(self):
+        """GQA + lane_aliased (now permitted by config) must produce the
+        exact token trajectory of GQA + 'lane' on the jnp write path."""
+        from mas_tpu.models.sampler import sample_tokens
+        from mas_tpu.models.transformer import MakeAScene
+        from mas_tpu.utils.config import TransformerConfig
+
+        cfg_lane = TransformerConfig(**_BASE, kv_cache_dtype="int8",
+                                     num_kv_heads=2)
+        cfg_al = TransformerConfig(**_BASE, kv_cache_dtype="int8",
+                                   num_kv_heads=2,
+                                   kv_cache_layout="lane_aliased")
+        rng = jax.random.PRNGKey(0)
+        text = jax.random.randint(rng, (2, 48), 1, 100)
+        seg = jax.random.randint(rng, (2, 16), 0, 128)
+        m = MakeAScene(cfg_lane)
+        variables = m.init(jax.random.PRNGKey(1), text, seg,
+                           jnp.zeros((2, 64), jnp.int32))
+        toks_lane = sample_tokens(m, variables, text, seg,
+                                  jax.random.PRNGKey(2),
+                                  guidance_scale=2.0, top_k=8)
+        m_al = MakeAScene(cfg_al)
+        toks_al = sample_tokens(m_al, variables, text, seg,
+                                jax.random.PRNGKey(2),
+                                guidance_scale=2.0, top_k=8)
+        np.testing.assert_array_equal(np.asarray(toks_al),
+                                      np.asarray(toks_lane))
+
     def test_sampler_identical_tokens_vs_lane(self):
         """On the jnp write path the math is IDENTICAL to 'lane' — token
         trajectories must match exactly."""
