@@ -49,7 +49,7 @@ def build(res: int, batch: int):
         resolution=res, attn_resolutions=(res // 16,),
         compute_dtype="bfloat16",
         codebook=CodebookConfig(codebook_size=8192, init_steps=2,
-                                reservoir_size=4096, samples_per_image=4))
+                                reservoir_size=8192, samples_per_image=4))
     model = VQModel(cfg)
     disc = PatchDiscriminator()
     lpips = LPIPS()

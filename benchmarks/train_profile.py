@@ -138,6 +138,17 @@ def levers():
         print(f"fused LN recovers {recovered:.0f}% of the all-LN bound "
               f"({base:.1f} -> {pl_ln:.1f} ms)", flush=True)
 
+    print("== levers: LN folded into matmuls (shippable) ==", flush=True)
+    # ln_in -> qkv and ln_out -> mlp.lin1 are computed algebraically inside
+    # the following matmul (ops.norms.folded_ln_dense) — 2 of the 4 LNs per
+    # block never materialize.  Upper bound: half the all-LN bound (~5.3%).
+    fold = safe(bench_step, flagship(ln_matmul_fold=True), 16,
+                label="LN->matmul fold (ln_in+ln_out)")
+    if fold is not None and no_ln is not None:
+        recovered = 100 * (base - fold) / max(base - no_ln, 1e-9)
+        print(f"LN fold recovers {recovered:.0f}% of the all-LN bound "
+              f"({base:.1f} -> {fold:.1f} ms)", flush=True)
+
     print("== levers: mlp-remat retry (compile cache now persistent) ==",
           flush=True)
     for b in (24, 32):
@@ -150,7 +161,25 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--levers", action="store_true",
                     help="round-4 MFU lever diagnostics only")
+    ap.add_argument("--fold-only", action="store_true",
+                    help="baseline + LN->matmul fold A/B only (the other "
+                         "lever rows are committed in train_levers.txt)")
     args = ap.parse_args()
+    if args.fold_only:
+        print("== LN->matmul fold A/B ==", flush=True)
+        base = bench_step(flagship(), 16, label="baseline (remat nothing)")
+        fold = safe(bench_step, flagship(ln_matmul_fold=True), 16,
+                    label="LN->matmul fold (ln_in+ln_out)")
+        if fold is not None:
+            # all-LN identity bound: 736.8 ms vs 823.8 baseline (committed
+            # results/train_levers.txt) = 87 ms; the fold targets 2/4 LNs
+            print(f"fold delta {base - fold:+.1f} ms vs the committed "
+                  f"87 ms all-LN bound", flush=True)
+        # larger-batch check: fold changes peak activation memory
+        safe(bench_step, flagship(ln_matmul_fold=True), 32,
+             label="LN->matmul fold")
+        safe(bench_step, flagship(), 32, label="baseline")
+        return
     if args.levers:
         levers()
         return
