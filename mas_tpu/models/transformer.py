@@ -35,7 +35,7 @@ from flax import linen as nn
 
 from ..ops.attention import (DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q,
                              prefix_causal_attention)
-from ..ops.norms import layer_norm
+from ..ops.norms import folded_ln_dense, layer_norm
 from ..utils.config import TransformerConfig
 
 Cache = Dict[str, jax.Array]
@@ -106,13 +106,57 @@ def prefix_causal_mask(q_pos: jax.Array, k_pos: jax.Array,
 class LayerNorm(nn.Module):
     eps: float = 1e-5
     impl: str = "jnp"  # 'jnp' | 'pallas' (cfg.layernorm_impl)
+    # features set => params are declared eagerly in setup so
+    # ``fold_params()`` can hand them to a folded LNDense matmul without
+    # calling the LN itself (cfg.ln_matmul_fold). Same param tree either
+    # way ('scale'/'bias'), so checkpoints are interchangeable.
+    features: Optional[int] = None
+
+    def setup(self):
+        if self.features is not None:
+            self.scale = self.param("scale", nn.initializers.ones,
+                                    (self.features,))
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
 
     @nn.compact
     def __call__(self, x):
-        d = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (d,))
-        bias = self.param("bias", nn.initializers.zeros, (d,))
+        if self.features is not None:
+            scale, bias = self.scale, self.bias
+        else:
+            d = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (d,))
+            bias = self.param("bias", nn.initializers.zeros, (d,))
         return layer_norm(x, scale, bias, self.eps, impl=self.impl)
+
+    def fold_params(self):
+        """(scale, bias) for a folded LN->matmul (requires ``features``)."""
+        return self.scale, self.bias
+
+
+class LNDense(nn.Module):
+    """``nn.Dense`` twin (identical param tree, init and dtype semantics)
+    whose call can fuse a preceding LayerNorm algebraically
+    (``ops.norms.folded_ln_dense``) instead of consuming a materialized
+    normalized tensor — the LN write+read is the measured 10.6% all-LN
+    bandwidth bound of the flagship train step (results/train_levers.txt).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    kernel_init: Any = _INIT
+
+    @nn.compact
+    def __call__(self, x, ln_fold=None, eps: float = 1e-5):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if ln_fold is None:
+            return (x.astype(self.dtype) @ kernel.astype(self.dtype)
+                    + bias.astype(self.dtype))
+        ln_scale, ln_bias = ln_fold
+        return folded_ln_dense(x, ln_scale, ln_bias, kernel, bias,
+                               eps=eps, dtype=self.dtype)
 
 
 class SelfAttention(nn.Module):
@@ -131,7 +175,7 @@ class SelfAttention(nn.Module):
         # GQA: k/v projections emit kv_heads*head_dim features; with the
         # default (kv_heads == num_attn_heads) this is exactly the
         # reference's fused 3*hidden projection, same parameter layout
-        self.qkv = nn.Dense(
+        self.qkv = LNDense(
             self.cfg.hidden_dim + 2 * self.cfg.kv_heads * self.cfg.head_dim,
             kernel_init=_INIT, dtype=dt, name="qkv")
         self.out_proj = nn.Dense(self.cfg.hidden_dim, kernel_init=_INIT,
@@ -142,11 +186,14 @@ class SelfAttention(nn.Module):
         return t.reshape(b, -1, n_heads or self.cfg.num_attn_heads,
                          self.cfg.head_dim).transpose(0, 2, 1, 3)
 
-    def _qkv(self, x):
-        """q [B, T, H, hd]->[B, H, T, hd]; k/v with cfg.kv_heads heads."""
+    def _qkv(self, x, ln_fold=None):
+        """q [B, T, H, hd]->[B, H, T, hd]; k/v with cfg.kv_heads heads.
+        ``ln_fold``: (scale, bias) of the block's ln_in, folded into the
+        qkv matmul (cfg.ln_matmul_fold) — x is then the UN-normalized
+        (prescaled) residual stream."""
         cfg = self.cfg
         kv_dim = cfg.kv_heads * cfg.head_dim
-        qkv = self.qkv(x)
+        qkv = self.qkv(x, ln_fold)
         q = qkv[..., :cfg.hidden_dim]
         k = qkv[..., cfg.hidden_dim:cfg.hidden_dim + kv_dim]
         v = qkv[..., cfg.hidden_dim + kv_dim:]
@@ -160,13 +207,13 @@ class SelfAttention(nn.Module):
         return t if g == 1 else jnp.repeat(t, g, axis=1)
 
     def __call__(self, x, mask, return_kv: bool = False,
-                 prefix_length: Optional[int] = None):
+                 prefix_length: Optional[int] = None, ln_fold=None):
         """``prefix_length`` set => the mask is the canonical
         prefix-bidirectional-causal one and the fused flash kernel may be
         used; ``mask`` is then only consulted by the jnp fallback."""
         cfg = self.cfg
         b, tq, _ = x.shape
-        q, k, v = self._qkv(x)
+        q, k, v = self._qkv(x, ln_fold)
         # attention math runs full-head (repeat is free vs the matmuls and
         # its gradient segment-sums back to the kv heads); the CACHE keeps
         # the compact kv-head tensors (return_kv below)
@@ -497,10 +544,10 @@ class MLP(nn.Module):
     cfg: TransformerConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln_fold=None):
         dt = _dt(self.cfg)
-        h = nn.Dense(4 * self.cfg.hidden_dim, kernel_init=_INIT, dtype=dt,
-                     name="lin1")(x)
+        h = LNDense(4 * self.cfg.hidden_dim, kernel_init=_INIT, dtype=dt,
+                    name="lin1")(x, ln_fold)
         h = _gelu(h)
         lin2 = nn.Dense(self.cfg.hidden_dim, kernel_init=_INIT, dtype=dt,
                         name="lin2")
@@ -521,8 +568,12 @@ class TransformerLayer(nn.Module):
     def setup(self):
         cfg = self.cfg
         ln = functools.partial(LayerNorm, impl=cfg.layernorm_impl)
-        self.ln_in = ln(name="ln_in")
-        self.ln_out = ln(name="ln_out")
+        # ln_matmul_fold: ln_in / ln_out are folded into the qkv / mlp.lin1
+        # matmuls (ops.norms.folded_ln_dense) — eager params so the fold
+        # can read them without a call; identical param tree either way
+        feats = cfg.hidden_dim if cfg.ln_matmul_fold else None
+        self.ln_in = ln(name="ln_in", features=feats)
+        self.ln_out = ln(name="ln_out", features=feats)
         if cfg.cogview_sandwich_layernorm:
             self.first_ln_sandwich = ln(name="first_ln_sandwich")
             self.second_ln_sandwich = ln(name="second_ln_sandwich")
@@ -544,20 +595,29 @@ class TransformerLayer(nn.Module):
         if self.cfg.cogview_sandwich_layernorm:
             a = self.first_ln_sandwich(self._prescale(a))
         x = x + a
-        m = self.mlp(self.ln_out(self._prescale(x)))
+        t = self._prescale(x)
+        if self.cfg.ln_matmul_fold:
+            m = self.mlp(t, self.ln_out.fold_params())
+        else:
+            m = self.mlp(self.ln_out(t))
         if self.cfg.cogview_sandwich_layernorm:
             m = self.second_ln_sandwich(m)
         return x + m
 
     def __call__(self, x, mask, return_kv: bool = False,
                  prefix_length: Optional[int] = None):
-        h = self.ln_in(self._prescale(x))
+        t = self._prescale(x)
+        if self.cfg.ln_matmul_fold:
+            h, fold = t, self.ln_in.fold_params()
+        else:
+            h, fold = self.ln_in(t), None
         if return_kv:
             a, kv = self.attn(h, mask, return_kv=True,
-                              prefix_length=prefix_length)
+                              prefix_length=prefix_length, ln_fold=fold)
             return self._post_attn(x, a), kv
         return self._post_attn(
-            x, self.attn(h, mask, prefix_length=prefix_length))
+            x, self.attn(h, mask, prefix_length=prefix_length,
+                         ln_fold=fold))
 
     def decode(self, x, k_cache, v_cache, index):
         a, (k_cache, v_cache) = self.attn.decode(

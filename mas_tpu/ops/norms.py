@@ -64,6 +64,46 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     return out.astype(orig_dtype)
 
 
+def folded_ln_dense(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                    kernel: jax.Array, bias: jax.Array,
+                    eps: float = 1e-5, dtype=None) -> jax.Array:
+    """``Dense(LayerNorm(x))`` without materializing ``LayerNorm(x)``.
+
+    Algebraic fold: with ``LN(x) = r*(x - mu)*gamma + beta`` (per-row
+    stats ``mu``, ``r = rsqrt(var + eps)``),
+
+        LN(x) @ W + b
+          = r * (x @ (gamma ⊙ W)) - (r*mu) * colsum + beta @ W + b
+
+    where ``colsum_j = sum_i gamma_i W_ij`` and ``gamma ⊙ W`` scales W's
+    rows (input features).  The normalized ``[..., d]`` tensor is never
+    written to / re-read from HBM — the all-LN identity bound is 10.6% of
+    the flagship train step and a standalone fused LN kernel recovered
+    only 13% of it (``results/train_levers.txt``), because the separate
+    pass still pays the full activation write+read.  Here the row stats
+    fuse into the matmul's operand read and the epilogue is per-row
+    scalars plus two rank-1 terms, all fusable into the matmul output.
+
+    Matmul runs in ``dtype`` (bf16 on TPU) like flax ``Dense``; stats and
+    the epilogue in fp32, matching ``layer_norm``'s fp32-stats contract.
+    Folding gamma into W re-rounds the product to bf16 once — same
+    rounding class as the unfused path's bf16 LN output cast.
+    """
+    dtype = dtype or x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)                       # [..., 1] fp32
+    wf = kernel.astype(jnp.float32)
+    wg = wf * ln_scale.astype(jnp.float32)[:, None]    # [din, dout] fp32
+    colsum = jnp.sum(wg, axis=0)                       # [dout]
+    beta_w = ln_bias.astype(jnp.float32) @ wf          # [dout]
+    y = x.astype(dtype) @ wg.astype(dtype)             # MXU matmul
+    out = (y.astype(jnp.float32) * r - (r * mu) * colsum
+           + beta_w + bias.astype(jnp.float32))
+    return out.astype(dtype)
+
+
 def _use_pallas() -> bool:
     try:
         return jax.default_backend() == "tpu"

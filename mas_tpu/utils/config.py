@@ -86,6 +86,15 @@ class CodebookConfig(_Base):
             raise ConfigError("codebook_size and codebook_dim must be positive")
         if self.reservoir_size <= 0:
             raise ConfigError("reservoir_size must be positive")
+        if self.reservoir_size < self.codebook_size:
+            # the k-means re-init draws codebook_size centroids from the
+            # reservoir (ops/kmeans.py top_k) — fewer samples than
+            # centroids fails at trace time deep inside the train step
+            raise ConfigError(
+                f"reservoir_size ({self.reservoir_size}) must be >= "
+                f"codebook_size ({self.codebook_size}): the k-means "
+                "bootstrap draws one centroid per codebook entry from "
+                "the reservoir")
 
     @property
     def q_start_collect(self) -> int:
@@ -239,6 +248,12 @@ class TransformerConfig(_Base):
     # first sandwich, ln_out — not the second sandwich).
     cogview_layernorm_prescale: bool = False
     compute_dtype: str = "float32"
+    # Fold ln_in / ln_out algebraically into the qkv / mlp.lin1 matmuls
+    # (ops.norms.folded_ln_dense): LN(x)@W = r*(x@(gamma*W)) - r*mu*colsum
+    # + beta@W, so the normalized activation is never written/re-read.
+    # Same parameter tree as the unfolded model (checkpoints
+    # interchangeable); sandwich LNs are unaffected (no adjacent matmul).
+    ln_matmul_fold: bool = False
     # 'auto' picks pallas flash attention on TPU, jnp elsewhere
     attention_impl: str = "auto"
     # single-token cached decode attention: 'auto' | 'jnp' | 'pallas' |

@@ -48,3 +48,12 @@ def test_mesh_shape():
     assert MeshConfig(data=-1, model=2).shape(8) == (4, 2)
     with pytest.raises(ConfigError):
         MeshConfig(data=3, model=2).shape(8)
+
+
+def test_reservoir_must_cover_codebook():
+    # k-means bootstrap draws codebook_size centroids from the reservoir
+    # (ops/kmeans.py top_k) — undersized reservoirs must fail at config
+    # time, not at trace time inside the train step
+    with pytest.raises(ConfigError):
+        CodebookConfig(codebook_size=8192, reservoir_size=4096)
+    CodebookConfig(codebook_size=8192, reservoir_size=8192)  # boundary ok
