@@ -113,7 +113,12 @@ def train_scenes(seed=0, compact=False, batch=None, res=None,
                                            seed=seed,
                                            cache_scenes=TRAIN_CACHE,
                                            compact=compact,
-                                           image_u8=image_u8),
+                                           image_u8=image_u8,
+                                           # persist the generated pool:
+                                           # 512²×4096 costs 40+ CPU-min
+                                           # (tail-9 postmortem) and every
+                                           # stage/retry repaid it
+                                           pool_cache_dir="/tmp/mas_scene_pool"),
                     size=4)
 
 

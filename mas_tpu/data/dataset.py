@@ -449,7 +449,8 @@ class StructuredSceneBatches:
     def __init__(self, batch_size: int, resolution: int = 256, seed: int = 0,
                  max_boxes: int = 6, cache_scenes: int = 0,
                  workers: int = 4, compact: bool = False,
-                 image_u8: bool = False):
+                 image_u8: bool = False,
+                 pool_cache_dir: Optional[str] = None):
         # compact=True: yield "seg_packed" int16 [B, r, r, 4] label maps
         # (segmap.pack_seg_labels) instead of the dense "mask" one-hot —
         # 80x less host->device traffic; the seg train step expands
@@ -478,6 +479,17 @@ class StructuredSceneBatches:
         self.workers = workers
         self.compact = compact
         self.image_u8 = image_u8
+        # pool_cache_dir: persist the generated scene pool to disk, keyed
+        # by (resolution, cache_scenes, seed, max_boxes).  Generating a
+        # 4096-scene pool at 512² costs ~40+ min of CPU on a 1-vCPU host
+        # (the tail-9 postmortem: a killed quality stage repaid the full
+        # generation on every retry); loading the pickle takes seconds.
+        # Caveat: loading skips the generator's RNG draws, so the batch
+        # SHUFFLE order differs from a fresh-generation run (same scenes,
+        # different order) — fine for the quality harness, do not use
+        # where bit-identical stream order across runs matters.
+        self.pool_cache_dir = pool_cache_dir
+        self.pool_seed = seed
 
     def _ellipse(self, xx, yy, cx, cy, a, b):
         return ((xx - cx) / a) ** 2 + ((yy - cy) / b) ** 2 <= 1.0
@@ -576,6 +588,33 @@ class StructuredSceneBatches:
         return {"image": np.stack(imgs), self._mask_key: np.stack(masks),
                 "bbox_obj": np.stack(bo), "bbox_face": np.stack(bf)}
 
+    def _pool_path(self) -> Optional[str]:
+        if not self.pool_cache_dir:
+            return None
+        return os.path.join(
+            self.pool_cache_dir,
+            f"scenes_r{self.resolution}_n{self.cache_scenes}"
+            f"_s{self.pool_seed}_m{self.max_boxes}.pkl")
+
+    def _load_pool(self):
+        path = self._pool_path()
+        if path is None or not os.path.exists(path):
+            return None
+        import pickle
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def _save_pool(self, scenes) -> None:
+        path = self._pool_path()
+        if path is None:
+            return
+        import pickle
+        os.makedirs(self.pool_cache_dir, exist_ok=True)
+        tmp = path + ".tmp"           # atomic rename: a killed run never
+        with open(tmp, "wb") as f:    # leaves a truncated pool behind
+            pickle.dump(scenes, f, protocol=4)
+        os.replace(tmp, path)
+
     def __iter__(self):
         if not self.cache_scenes:
             while True:
@@ -584,14 +623,17 @@ class StructuredSceneBatches:
 
         from .segmap import assemble_seg_map_into
 
-        scenes = []
-        for _ in range(self.cache_scenes):
-            img, pan, hum, face, edge, bx, fbx = self._scene()
-            # compact dtypes: ~0.7 MB/scene at 256²
-            scenes.append(((img * 255).astype(np.uint8),
-                           pan.astype(np.int16), hum.astype(np.int8),
-                           face.astype(np.int8), edge.astype(np.uint8),
-                           bx, fbx))
+        scenes = self._load_pool()
+        if scenes is None:
+            scenes = []
+            for _ in range(self.cache_scenes):
+                img, pan, hum, face, edge, bx, fbx = self._scene()
+                # compact dtypes: ~0.7 MB/scene at 256²
+                scenes.append(((img * 255).astype(np.uint8),
+                               pan.astype(np.int16), hum.astype(np.int8),
+                               face.astype(np.int8), edge.astype(np.uint8),
+                               bx, fbx))
+            self._save_pool(scenes)
 
         # rotating preallocated batch buffers: fresh numpy allocations
         # page-fault at ~120 MB/s first touch on this host (warm reuse is

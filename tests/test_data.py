@@ -411,3 +411,34 @@ def test_structured_batches_image_u8_aligned():
     assert fu["image"].dtype == np.uint8
     np.testing.assert_allclose(fu["image"].astype(np.float32) / 255.0,
                                ff["image"], atol=1.01 / 255)
+
+
+def test_scene_pool_disk_cache(tmp_path):
+    """pool_cache_dir: second instance loads the pickled pool instead of
+    regenerating (the 512² pool costs 40+ CPU-minutes; tail-9 postmortem)."""
+    from mas_tpu.data.dataset import StructuredSceneBatches
+
+    d = str(tmp_path)
+    it1 = StructuredSceneBatches(2, 32, seed=7, cache_scenes=4,
+                                 compact=True, pool_cache_dir=d)
+    b1 = next(iter(it1))
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1 and files[0].suffix == ".pkl"
+
+    it2 = StructuredSceneBatches(2, 32, seed=7, cache_scenes=4,
+                                 compact=True, pool_cache_dir=d)
+    calls = []
+    it2._scene = lambda: calls.append(1) or (_ for _ in ()).throw(
+        AssertionError("pool should load from disk, not regenerate"))
+    b2 = next(iter(it2))
+    assert not calls
+    # same scenes on disk: the pooled images come from the same pool
+    # (order may differ — loading skips the generator's rng draws)
+    assert b1["image"].shape == b2["image"].shape
+    assert b2["seg_packed"].dtype == b1["seg_packed"].dtype
+
+    # different key => different file, fresh generation
+    it3 = StructuredSceneBatches(2, 32, seed=8, cache_scenes=4,
+                                 compact=True, pool_cache_dir=d)
+    next(iter(it3))
+    assert len(list(tmp_path.iterdir())) == 2
