@@ -396,7 +396,8 @@ def stage_ar(steps: int = 4000):
         # Per-step uploads drop to ~68 KB of token ids.
         src = iter(StructuredSceneBatches(AR_BATCH, RES, seed=1,
                                           cache_scenes=TRAIN_CACHE,
-                                          compact=True, image_u8=True))
+                                          compact=True, image_u8=True,
+                                          pool_cache_dir="/tmp/mas_scene_pool"))
         texts, segs, imgs = [], [], []
         for _ in range(TRAIN_CACHE // AR_BATCH):
             batch = next(src)
