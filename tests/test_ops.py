@@ -120,6 +120,71 @@ class TestNorms:
         for a, e in zip(vjp_got(g), vjp_ref(g)):
             np.testing.assert_allclose(np.array(a), np.array(e), atol=1e-5)
 
+    def test_gn_swish_fwd_stats_interpret(self):
+        from mas_tpu.ops.pallas.gn_swish import _gn_swish_fwd_stats_pallas
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64))
+        s = jax.random.normal(jax.random.PRNGKey(1), (64,))
+        b = jax.random.normal(jax.random.PRNGKey(2), (64,))
+        got, stats = _gn_swish_fwd_stats_pallas(x, s, b, 32, 1e-6,
+                                                interpret=True)
+        ref = swish(group_norm(x, s, b, 32, 1e-6))
+        np.testing.assert_allclose(np.array(got), np.array(ref), atol=1e-5)
+        # stats rows are (mean, rstd) per batch x group
+        xg = np.array(x).reshape(2, 64, 32, 2)          # [B, HW, G, cpg]
+        mean_ref = xg.transpose(0, 2, 1, 3).reshape(2, 32, -1).mean(-1)
+        var_ref = xg.transpose(0, 2, 1, 3).reshape(2, 32, -1).var(-1)
+        np.testing.assert_allclose(np.array(stats[:, 0]), mean_ref, atol=1e-5)
+        np.testing.assert_allclose(np.array(stats[:, 1]),
+                                   1.0 / np.sqrt(var_ref + 1e-6), atol=1e-4)
+
+    @pytest.mark.parametrize("shape,groups", [((2, 8, 8, 64), 32),
+                                              ((1, 16, 16, 128), 32),
+                                              ((3, 8, 4, 96), 16)])
+    def test_gn_swish_bwd_pallas_interpret(self, shape, groups):
+        from mas_tpu.ops.pallas.gn_swish import (_gn_swish_bwd_pallas,
+                                                 _gn_swish_fwd_stats_pallas)
+        keys = jax.random.split(jax.random.PRNGKey(7), 4)
+        c = shape[-1]
+        x = jax.random.normal(keys[0], shape)
+        s = jax.random.normal(keys[1], (c,)) * 0.5 + 1.0
+        b = jax.random.normal(keys[2], (c,)) * 0.1
+        g = jax.random.normal(keys[3], shape)
+        _, vjp = jax.vjp(
+            lambda x_, s_, b_: swish(group_norm(x_, s_, b_, groups, 1e-6)),
+            x, s, b)
+        dx_ref, ds_ref, db_ref = vjp(g)
+        _, stats = _gn_swish_fwd_stats_pallas(x, s, b, groups, 1e-6,
+                                              interpret=True)
+        dx, ds, db = _gn_swish_bwd_pallas(x, g, s, b, stats, groups,
+                                          interpret=True)
+        np.testing.assert_allclose(np.array(dx), np.array(dx_ref), atol=2e-5)
+        # param grads reduce over B*H*W rows; tolerance scales with that
+        np.testing.assert_allclose(np.array(ds), np.array(ds_ref), atol=1e-4)
+        np.testing.assert_allclose(np.array(db), np.array(db_ref), atol=1e-4)
+
+    def test_gn_swish_bwd_pallas_interpret_bf16(self):
+        from mas_tpu.ops.pallas.gn_swish import (_gn_swish_bwd_pallas,
+                                                 _gn_swish_fwd_stats_pallas)
+        keys = jax.random.split(jax.random.PRNGKey(9), 4)
+        x = jax.random.normal(keys[0], (2, 8, 8, 64), jnp.bfloat16)
+        s = jnp.ones((64,))
+        b = jnp.zeros((64,))
+        g = jax.random.normal(keys[3], (2, 8, 8, 64), jnp.bfloat16)
+        xf, gf = x.astype(jnp.float32), g.astype(jnp.float32)
+        _, vjp = jax.vjp(
+            lambda x_, s_, b_: swish(group_norm(x_, s_, b_, 32, 1e-6)),
+            xf, s, b)
+        dx_ref, ds_ref, db_ref = vjp(gf)
+        _, stats = _gn_swish_fwd_stats_pallas(x, s, b, 32, 1e-6,
+                                              interpret=True)
+        dx, ds, db = _gn_swish_bwd_pallas(x, g, s, b, stats, 32,
+                                          interpret=True)
+        assert dx.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.array(dx, np.float32),
+                                   np.array(dx_ref), atol=0.03)
+        np.testing.assert_allclose(np.array(ds), np.array(ds_ref), atol=0.5)
+        np.testing.assert_allclose(np.array(db), np.array(db_ref), atol=0.5)
+
     def test_gn_swish_grad(self):
         from mas_tpu.ops.pallas.gn_swish import gn_swish_pallas
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 32))
