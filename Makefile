@@ -10,7 +10,11 @@ test:            ## CPU test suite (8 virtual devices for sharding coverage)
 
 quality:         ## full quality pipeline on the TPU chip; per-stage commits
 	mkdir -p $(LOGDIR)
-	bash benchmarks/run_quality_committing.sh $(LOGDIR)
+	LOGDIR=$(LOGDIR) bash benchmarks/run_quality_stage.sh pipeline
+
+quality-stage:   ## one stage: make quality-stage STAGE=ar512 [HARD_END=epoch]
+	mkdir -p $(LOGDIR)
+	LOGDIR=$(LOGDIR) bash benchmarks/run_quality_stage.sh $(STAGE) $(HARD_END)
 
 bench:           ## headline 256^2 serving bench (one JSON line)
 	python -u bench.py --quick

@@ -13,8 +13,13 @@ dependency so steps can't CSE):
   k-only         score einsum alone vs score+softmax+pv
 
 Run: python benchmarks/read_floor.py  (real TPU; ~4 min)
+     python benchmarks/read_floor.py --t 1408 --b 64   # 512^2 geometry
+     (T=1408 is the paper's full 512^2 sequence; batch 64 is bench512's
+     measured argmax — VERDICT r4 #3: give 512^2 the same floor proof
+     256^2 got instead of arguing by analogy)
 """
 
+import argparse
 import functools
 import math
 import os
@@ -89,6 +94,16 @@ def attn(q, kc, vc, index, cd, with_scales=True, k_only=False):
 
 
 def main():
+    global B, T
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=B,
+                    help="CFG-doubled decode batch (128 = 256^2 headline "
+                         "argmax; 64 = the 512^2 bench argmax)")
+    ap.add_argument("--t", type=int, default=T,
+                    help="cache length (640 = 256^2; 1408 = 512^2 paper "
+                         "geometry)")
+    args = ap.parse_args()
+    B, T = args.b, args.t
     print(f"backend={jax.default_backend()}  B={B} H={H} D={D} T={T} "
           f"steps={STEPS}", flush=True)
     rng = jax.random.PRNGKey(0)

@@ -54,6 +54,11 @@ CKPT = "/tmp/recon_q"
 SEG_CKPT_256 = "/tmp/recon_q"   # where a 512² run finds the 256² seg stage
 RES = 256
 BATCH = 8
+# scene-pool disk cache: user-owned dir (never a world-writable /tmp path
+# — ADVICE r4) holding versioned .npy pool directories; override with
+# MAS_POOL_CACHE for shared/pregenerated pools
+POOL_CACHE_DIR = os.environ.get(
+    "MAS_POOL_CACHE", os.path.expanduser("~/.cache/mas_tpu/scene_pool"))
 
 
 def grid_path(name: str) -> str:
@@ -118,7 +123,7 @@ def train_scenes(seed=0, compact=False, batch=None, res=None,
                                            # 512²×4096 costs 40+ CPU-min
                                            # (tail-9 postmortem) and every
                                            # stage/retry repaid it
-                                           pool_cache_dir="/tmp/mas_scene_pool"),
+                                           pool_cache_dir=POOL_CACHE_DIR),
                     size=4)
 
 
@@ -305,7 +310,10 @@ def stage_img(steps: int = 3000, disc_start: int = 2000):
 # ---------------------------------------------------------------------------
 
 TEXT_LEN = 16
-AR_BATCH = 32
+AR_BATCH = 32     # --ar-batch: train/eval batch.  32 fits the 256^2 AR
+                  # geometry (784 tokens); the 512^2 run (1296 tokens)
+                  # OOMs the train step at 32 (r4 tail-9 log) — use 8.
+TOK_BATCH = 32    # scene->token encode batch (fwd only, never OOMs)
 
 
 AR_KV_HEADS = 0   # --ar-kv-heads: GQA quality row (0 = MHA)
@@ -394,18 +402,18 @@ def stage_ar(steps: int = 4000):
         # 25 MB/transfer, never freed — the first attempt re-uploaded
         # images+labels every step and was host-OOM-killed at 130 GB).
         # Per-step uploads drop to ~68 KB of token ids.
-        src = iter(StructuredSceneBatches(AR_BATCH, RES, seed=1,
+        src = iter(StructuredSceneBatches(TOK_BATCH, RES, seed=1,
                                           cache_scenes=TRAIN_CACHE,
                                           compact=True, image_u8=True,
-                                          pool_cache_dir="/tmp/mas_scene_pool"))
+                                          pool_cache_dir=POOL_CACHE_DIR))
         texts, segs, imgs = [], [], []
-        for _ in range(TRAIN_CACHE // AR_BATCH):
+        for _ in range(TRAIN_CACHE // TOK_BATCH):
             batch = next(src)
             texts.append(scene_text_tokens(batch))
             segs.append(np.asarray(seg_enc(jnp.asarray(sub_seg(
-                batch["seg_packed"])))).reshape(AR_BATCH, -1))
+                batch["seg_packed"])))).reshape(TOK_BATCH, -1))
             imgs.append(np.asarray(img_enc(jnp.asarray(
-                batch["image"]))).reshape(AR_BATCH, -1))
+                batch["image"]))).reshape(TOK_BATCH, -1))
         texts = np.concatenate(texts)
         segs = np.concatenate(segs).astype(np.int32)
         imgs = np.concatenate(imgs).astype(np.int32)
@@ -517,6 +525,9 @@ def main():
     ap.add_argument("--steps-img", type=int, default=3000)
     ap.add_argument("--disc-start", type=int, default=2000)
     ap.add_argument("--steps-ar", type=int, default=4000)
+    ap.add_argument("--ar-batch", type=int, default=32,
+                    help="AR train/eval batch; the 512^2 geometry (1296 "
+                         "tokens) OOMs the train step at 32 — use 8")
     ap.add_argument("--ar-eval-prompts", type=int, default=32)
     ap.add_argument("--seg-init-steps", type=int, default=200,
                     help="codebook phase-schedule base for the seg stage; "
@@ -536,6 +547,8 @@ def main():
     RES, BATCH, TRAIN_CACHE = args.res, args.batch, args.pool
     AR_EVAL_PROMPTS = args.ar_eval_prompts
     AR_KV_HEADS = args.ar_kv_heads
+    global AR_BATCH
+    AR_BATCH = args.ar_batch
     global SEG_INIT_STEPS
     SEG_INIT_STEPS = args.seg_init_steps
     CKPT = args.ckpt or ("/tmp/recon_q" if RES == 256

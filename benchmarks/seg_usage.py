@@ -4,10 +4,12 @@
 round-4 seg stage saw 703/1024 codes (68.7%) over 64 held-out scenes
 (65k token draws) at perplexity 289 — more scenes surface more of the
 tail.  This script restores the saved seg checkpoint (no retraining) and
-reports distinct-code counts at 64/128/256/512 scenes, appending a
-``seg_usage_curve`` row to results/recon_quality.json.
+reports distinct-code counts at 64..2048 scenes, appending a
+``seg_usage_curve`` row to results/recon_quality.json.  The 1024/2048
+points extend the curve to its plateau (VERDICT r4 #6: the >=80% round-2
+bar is answered by the asymptote, not a fixed eval size).
 
-Run: python benchmarks/seg_usage.py  (real TPU, ~4 min; needs
+Run: python benchmarks/seg_usage.py  (real TPU, ~6 min; needs
 /tmp/recon_q/seg from a completed seg stage)
 """
 
@@ -38,7 +40,10 @@ def main():
 
     counts = np.zeros(mcfg.codebook.codebook_size, np.int64)
     metrics, scenes = {}, 0
-    checkpoints = (64, 128, 256, 512)
+    checkpoints = (64, 128, 256, 512, 1024, 2048)
+    # the eval stream's scene pool must be at least as deep as the curve's
+    # last point, or the tail "new scenes" would be reshuffled repeats
+    rq.TRAIN_CACHE = max(rq.TRAIN_CACHE, checkpoints[-1])
     for i, batch in enumerate(rq.seg_batches(seed=999)):
         toks = np.asarray(enc(jnp.asarray(batch["seg_packed"]))).ravel()
         counts += np.bincount(toks, minlength=len(counts))

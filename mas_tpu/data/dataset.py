@@ -423,6 +423,48 @@ class SyntheticTokenBatches:
             }
 
 
+# bump whenever StructuredSceneBatches._scene() (or the pool layout)
+# changes: the version is part of the cache key, so stale pools are
+# never silently reused (ADVICE r4)
+_POOL_FORMAT_VERSION = 2
+
+# per-scene fields persisted as stacked .npy arrays, in scene-tuple order;
+# fields 5/6 (object / face boxes) are variable-length and stored as a
+# concatenated [sum_k, 4] array plus an int64 offset vector instead
+_POOL_FIELDS = ("img", "pan", "hum", "face", "edge")
+
+
+class _ScenePoolView:
+    """mmap-backed random access over a saved scene-pool directory.
+
+    Quacks like the in-memory ``scenes`` list (``pool[i]`` -> the 7-tuple
+    a fresh ``_scene()`` pass would have produced) but reads lazily
+    through the page cache, so an 8.6 GB 512² pool costs no resident RAM.
+    """
+
+    def __init__(self, path: str):
+        self._fields = [
+            np.load(os.path.join(path, name + ".npy"), mmap_mode="r")
+            for name in _POOL_FIELDS]
+        self._box = np.load(os.path.join(path, "box.npy"), mmap_mode="r")
+        self._box_off = np.load(os.path.join(path, "box_off.npy"))
+        self._fbox = np.load(os.path.join(path, "fbox.npy"), mmap_mode="r")
+        self._fbox_off = np.load(os.path.join(path, "fbox_off.npy"))
+        n = len(self._fields[0])
+        if any(len(f) != n for f in self._fields) or \
+                len(self._box_off) != n + 1 or len(self._fbox_off) != n + 1:
+            raise ValueError("scene-pool field lengths disagree")
+
+    def __len__(self) -> int:
+        return len(self._fields[0])
+
+    def __getitem__(self, i):
+        o, fo = self._box_off, self._fbox_off
+        return tuple(f[i] for f in self._fields) + (
+            np.asarray(self._box[o[i]:o[i + 1]]),
+            np.asarray(self._fbox[fo[i]:fo[i + 1]]))
+
+
 class StructuredSceneBatches:
     """Learnable synthetic scenes: aligned RGB + 159-channel seg + boxes.
 
@@ -480,10 +522,16 @@ class StructuredSceneBatches:
         self.compact = compact
         self.image_u8 = image_u8
         # pool_cache_dir: persist the generated scene pool to disk, keyed
-        # by (resolution, cache_scenes, seed, max_boxes).  Generating a
-        # 4096-scene pool at 512² costs ~40+ min of CPU on a 1-vCPU host
-        # (the tail-9 postmortem: a killed quality stage repaid the full
-        # generation on every retry); loading the pickle takes seconds.
+        # by (format version, resolution, cache_scenes, seed, max_boxes).
+        # Generating a 4096-scene pool at 512² costs ~40+ min of CPU on a
+        # 1-vCPU host (the tail-9 postmortem: a killed quality stage repaid
+        # the full generation on every retry); a saved pool mmap-loads
+        # instantly.  Format: a directory of plain .npy files (one per
+        # scene field, boxes as a concatenated array + offsets) — never
+        # pickle, so a pre-planted cache file can't execute code on load
+        # (ADVICE r4), and the 8.6 GB 512² pool is read lazily through the
+        # page cache instead of resident.  Bump _POOL_FORMAT_VERSION
+        # whenever _scene() changes so stale pools are never reused.
         # Caveat: loading skips the generator's RNG draws, so the batch
         # SHUFFLE order differs from a fresh-generation run (same scenes,
         # different order) — fine for the quality harness, do not use
@@ -593,27 +641,52 @@ class StructuredSceneBatches:
             return None
         return os.path.join(
             self.pool_cache_dir,
-            f"scenes_r{self.resolution}_n{self.cache_scenes}"
-            f"_s{self.pool_seed}_m{self.max_boxes}.pkl")
+            f"scenes_v{_POOL_FORMAT_VERSION}_r{self.resolution}"
+            f"_n{self.cache_scenes}_s{self.pool_seed}_m{self.max_boxes}")
 
     def _load_pool(self):
         path = self._pool_path()
-        if path is None or not os.path.exists(path):
+        if path is None or not os.path.isdir(path):
             return None
-        import pickle
-        with open(path, "rb") as f:
-            return pickle.load(f)
+        try:
+            return _ScenePoolView(path)
+        except (OSError, ValueError) as exn:
+            print(f"scene-pool cache at {path} unreadable ({exn}); "
+                  "regenerating", flush=True)
+            return None
 
     def _save_pool(self, scenes) -> None:
         path = self._pool_path()
         if path is None:
             return
-        import pickle
+        from numpy.lib.format import open_memmap
         os.makedirs(self.pool_cache_dir, exist_ok=True)
         tmp = path + ".tmp"           # atomic rename: a killed run never
-        with open(tmp, "wb") as f:    # leaves a truncated pool behind
-            pickle.dump(scenes, f, protocol=4)
-        os.replace(tmp, path)
+        os.makedirs(tmp, exist_ok=True)  # leaves a readable partial pool
+        n = len(scenes)
+        for j, name in enumerate(_POOL_FIELDS):
+            first = np.asarray(scenes[0][j])
+            mm = open_memmap(os.path.join(tmp, name + ".npy"), mode="w+",
+                             dtype=first.dtype, shape=(n,) + first.shape)
+            for i in range(n):
+                mm[i] = scenes[i][j]
+            mm.flush()
+            del mm
+        for j, name in ((5, "box"), (6, "fbox")):
+            parts = [np.asarray(sc[j], np.float32).reshape(-1, 4)
+                     for sc in scenes]
+            off = np.zeros(n + 1, np.int64)
+            off[1:] = np.cumsum([len(p) for p in parts])
+            cat = (np.concatenate(parts) if parts
+                   else np.zeros((0, 4), np.float32))
+            np.save(os.path.join(tmp, name + ".npy"), cat)
+            np.save(os.path.join(tmp, name + "_off.npy"), off)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            # another process finished the same pool first; keep theirs
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def __iter__(self):
         if not self.cache_scenes:

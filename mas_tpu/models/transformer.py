@@ -130,8 +130,10 @@ class LayerNorm(nn.Module):
         return layer_norm(x, scale, bias, self.eps, impl=self.impl)
 
     def fold_params(self):
-        """(scale, bias) for a folded LN->matmul (requires ``features``)."""
-        return self.scale, self.bias
+        """(scale, bias, eps) for a folded LN->matmul (requires
+        ``features``).  eps rides along so the folded path normalizes with
+        THIS module's eps, not a downstream default (ADVICE r4)."""
+        return self.scale, self.bias, self.eps
 
 
 class LNDense(nn.Module):
@@ -140,23 +142,28 @@ class LNDense(nn.Module):
     (``ops.norms.folded_ln_dense``) instead of consuming a materialized
     normalized tensor — the LN write+read is the measured 10.6% all-LN
     bandwidth bound of the flagship train step (results/train_levers.txt).
+
+    ``dtype=None`` mirrors ``nn.Dense``'s promote-to-widest semantics
+    (bf16 input x fp32 params -> fp32 compute); every production call
+    site passes the config compute dtype explicitly.
     """
 
     features: int
-    dtype: Any = jnp.float32
+    dtype: Any = None
     kernel_init: Any = _INIT
 
     @nn.compact
-    def __call__(self, x, ln_fold=None, eps: float = 1e-5):
+    def __call__(self, x, ln_fold=None):
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = (self.dtype if self.dtype is not None
+              else jnp.result_type(x.dtype, kernel.dtype, bias.dtype))
         if ln_fold is None:
-            return (x.astype(self.dtype) @ kernel.astype(self.dtype)
-                    + bias.astype(self.dtype))
-        ln_scale, ln_bias = ln_fold
+            return (x.astype(dt) @ kernel.astype(dt) + bias.astype(dt))
+        ln_scale, ln_bias, eps = ln_fold
         return folded_ln_dense(x, ln_scale, ln_bias, kernel, bias,
-                               eps=eps, dtype=self.dtype)
+                               eps=eps, dtype=dt)
 
 
 class SelfAttention(nn.Module):

@@ -10,6 +10,8 @@ two-pass statistics in VMEM for the large early-stage activations.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -37,10 +39,27 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
 def group_norm_swish(x: jax.Array, scale: jax.Array, bias: jax.Array,
                      num_groups: int = 32, eps: float = 1e-6,
                      impl: str = "auto") -> jax.Array:
-    """Fused GroupNorm -> swish. ``impl``: 'auto' | 'jnp' | 'pallas'."""
-    if impl == "pallas" or (impl == "auto" and _use_pallas()):
-        from .pallas.gn_swish import gn_swish_pallas
-        return gn_swish_pallas(x, scale, bias, num_groups=num_groups, eps=eps)
+    """Fused GroupNorm -> swish.
+
+    ``impl``: 'auto' | 'jnp' | 'pallas' | 'pallas_fwd'.  The env var
+    ``MAS_GN_IMPL`` overrides 'auto' (A/B hook used by
+    ``benchmarks/gn_bwd_check.py`` / ``gan_trace.py``).
+
+    'auto' on TPU resolves to the Pallas *forward* with the jnp-recompute
+    VJP ('pallas_fwd').  The full Pallas backward passed on-chip parity
+    (error class = bf16 cotangent rounding, same as dx) but LOSES on time
+    — isolated: 13.0 ms vs 11.1 ms jnp over the 512^2 shape set; end-to-
+    end GAN step: see results/gan_trace.txt A/B — because XLA's fused
+    convert_reduce VJP already streams the activation fewer times than
+    the kernel's two extra passes.  Kept opt-in as 'pallas'.
+    """
+    if impl == "auto":
+        impl = os.environ.get("MAS_GN_IMPL", "").strip() or (
+            "pallas_fwd" if _on_tpu() else "jnp")
+    if impl in ("pallas", "pallas_fwd"):
+        from .pallas.gn_swish import gn_swish_pallas, gn_swish_pallas_fwd_only
+        fn = gn_swish_pallas if impl == "pallas" else gn_swish_pallas_fwd_only
+        return fn(x, scale, bias, num_groups=num_groups, eps=eps)
     return swish(group_norm(x, scale, bias, num_groups, eps))
 
 
@@ -104,7 +123,7 @@ def folded_ln_dense(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     return out.astype(dtype)
 
 
-def _use_pallas() -> bool:
+def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover

@@ -328,3 +328,36 @@ def _bwd(num_groups, eps, res, g):
 
 
 gn_swish_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def gn_swish_pallas_fwd_only(x, scale, bias, num_groups=32, eps=1e-6):
+    """Pallas forward + jnp-recompute VJP (the round-4 default config).
+
+    On-chip A/B (``benchmarks/gn_bwd_check.py``) showed XLA's fused
+    convert_reduce VJP beating the Pallas two-pass backward at every
+    production shape, so this is the 'auto' TPU path; the full-Pallas
+    variant above stays opt-in (``MAS_GN_IMPL=pallas``).
+    """
+    if not _supported(x, num_groups):
+        return _jnp_forward(x, scale, bias, num_groups, eps)
+    return _gn_swish_fwd_pallas(x, scale, bias, num_groups, eps)
+
+
+def _fwd_only_fwd(x, scale, bias, num_groups, eps):
+    if not _supported(x, num_groups):
+        return (_jnp_forward(x, scale, bias, num_groups, eps),
+                (x, scale, bias))
+    return (_gn_swish_fwd_pallas(x, scale, bias, num_groups, eps),
+            (x, scale, bias))
+
+
+def _fwd_only_bwd(num_groups, eps, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _jnp_forward(x_, s_, b_, num_groups, eps),
+        x, scale, bias)
+    return vjp(g)
+
+
+gn_swish_pallas_fwd_only.defvjp(_fwd_only_fwd, _fwd_only_bwd)

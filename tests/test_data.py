@@ -414,8 +414,10 @@ def test_structured_batches_image_u8_aligned():
 
 
 def test_scene_pool_disk_cache(tmp_path):
-    """pool_cache_dir: second instance loads the pickled pool instead of
-    regenerating (the 512² pool costs 40+ CPU-minutes; tail-9 postmortem)."""
+    """pool_cache_dir: second instance mmap-loads the saved pool instead
+    of regenerating (the 512² pool costs 40+ CPU-minutes; tail-9
+    postmortem).  v2 format: a versioned directory of plain .npy files —
+    never pickle (ADVICE r4), so a planted cache file can't execute code."""
     from mas_tpu.data.dataset import StructuredSceneBatches
 
     d = str(tmp_path)
@@ -423,7 +425,9 @@ def test_scene_pool_disk_cache(tmp_path):
                                  compact=True, pool_cache_dir=d)
     b1 = next(iter(it1))
     files = list(tmp_path.iterdir())
-    assert len(files) == 1 and files[0].suffix == ".pkl"
+    assert len(files) == 1 and files[0].is_dir() and \
+        files[0].name.startswith("scenes_v")
+    assert all(p.suffix == ".npy" for p in files[0].iterdir())
 
     it2 = StructuredSceneBatches(2, 32, seed=7, cache_scenes=4,
                                  compact=True, pool_cache_dir=d)
@@ -437,8 +441,23 @@ def test_scene_pool_disk_cache(tmp_path):
     assert b1["image"].shape == b2["image"].shape
     assert b2["seg_packed"].dtype == b1["seg_packed"].dtype
 
-    # different key => different file, fresh generation
+    # different key => different pool dir, fresh generation
     it3 = StructuredSceneBatches(2, 32, seed=8, cache_scenes=4,
                                  compact=True, pool_cache_dir=d)
     next(iter(it3))
     assert len(list(tmp_path.iterdir())) == 2
+
+    # round-trip fidelity: the loaded view returns the same scene tuples
+    # the generator saved (same seed regenerated without a cache dir)
+    fresh = StructuredSceneBatches(2, 32, seed=7, cache_scenes=4,
+                                   compact=True)
+    b3 = next(iter(fresh))
+    view = StructuredSceneBatches(2, 32, seed=7, cache_scenes=4,
+                                  compact=True,
+                                  pool_cache_dir=d)._load_pool()
+    assert view is not None and len(view) == 4
+    import numpy as np
+    scene = view[1]
+    assert len(scene) == 7
+    assert scene[0].shape == (32, 32, 3) and scene[5].shape[-1:] == (4,)
+    assert b3["seg_packed"].dtype == b1["seg_packed"].dtype

@@ -68,6 +68,40 @@ class TestNorms:
         ref = (torch.from_numpy(x) * torch.sigmoid(torch.from_numpy(x))).numpy()
         np.testing.assert_allclose(np.array(got), ref, atol=1e-6)
 
+    def test_gn_swish_fwd_only_vjp_matches_jnp(self):
+        """gn_swish_pallas_fwd_only (the TPU 'auto' path): off-TPU the fwd
+        falls back to jnp, and the VJP is the jnp-recompute backward —
+        grads must be bit-identical to grads of the plain jnp path."""
+        from mas_tpu.ops.pallas.gn_swish import gn_swish_pallas_fwd_only
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 64))
+        s = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(4), (64,))
+        b = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (64,))
+        ref = jax.grad(lambda *a: jnp.sum(
+            swish(group_norm(*a, 32, 1e-6))), argnums=(0, 1, 2))(x, s, b)
+        got = jax.grad(lambda *a: jnp.sum(
+            gn_swish_pallas_fwd_only(*a, 32, 1e-6)), argnums=(0, 1, 2))(
+                x, s, b)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.array(g), np.array(r), atol=1e-6)
+
+    def test_group_norm_swish_env_override(self, monkeypatch):
+        """MAS_GN_IMPL env var resolves impl='auto' (the gan_trace A/B
+        hook); explicit impl args ignore it."""
+        from mas_tpu.ops import norms
+
+        x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 64))
+        s = jnp.ones((64,))
+        b = jnp.zeros((64,))
+        ref = norms.group_norm_swish(x, s, b, impl="jnp")
+        monkeypatch.setenv("MAS_GN_IMPL", "pallas")
+        # CPU: the pallas entry falls back to jnp internally => same values
+        got = norms.group_norm_swish(x, s, b, impl="auto")
+        np.testing.assert_allclose(np.array(got), np.array(ref), atol=1e-6)
+        monkeypatch.setenv("MAS_GN_IMPL", "jnp")
+        got = norms.group_norm_swish(x, s, b, impl="auto")
+        np.testing.assert_allclose(np.array(got), np.array(ref), atol=1e-6)
+
     def test_gn_swish_pallas_interpret(self):
         from mas_tpu.ops.pallas.gn_swish import _gn_swish_fwd_pallas
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64))
