@@ -70,12 +70,18 @@ def main():
                     help="GQA trace: why do 4x-smaller cache reads bench "
                          "SLOWER end-to-end (22.98 vs 32.35 img/s)?")
     ap.add_argument("--decode-q-rows", type=int, default=1)
+    ap.add_argument("--resolution", type=int, default=256,
+                    choices=(256, 512),
+                    help="512 = the 1408-token paper geometry (VERDICT "
+                         "r4 #3: the 512^2 'cache-read-bound' claim gets "
+                         "its own trace, not an analogy)")
     args = ap.parse_args()
 
     from bench import build_pipeline
 
-    pipeline, tcfg = build_pipeline(256, "auto", args.kv_cache, 0, False,
-                                    args.kv_layout, kv_heads=args.kv_heads,
+    pipeline, tcfg = build_pipeline(args.resolution, "auto", args.kv_cache,
+                                    0, False, args.kv_layout,
+                                    kv_heads=args.kv_heads,
                                     q_rows=args.decode_q_rows)
     text = jnp.zeros((args.batch, tcfg.text_length), jnp.int32)
     seg = jnp.zeros((args.batch, tcfg.seg_length), jnp.int32)

@@ -317,6 +317,7 @@ TOK_BATCH = 32    # scene->token encode batch (fwd only, never OOMs)
 
 
 AR_KV_HEADS = 0   # --ar-kv-heads: GQA quality row (0 = MHA)
+AR_RESUME = False  # --ar-resume: eval-only recovery of a lost AR eval
 
 
 def ar_cfg() -> TransformerConfig:
@@ -431,7 +432,7 @@ def stage_ar(steps: int = 4000):
     t0 = time.time()
     state = run_train_transformer(
         train_cfg(ar_name, steps, mode="train_transformer",
-                  batch_size=AR_BATCH, uncond_p=0.1),
+                  batch_size=AR_BATCH, uncond_p=0.1, resume=AR_RESUME),
         tcfg, token_batches())
     train_s = time.time() - t0
     variables = {"params": state.params}
@@ -529,6 +530,11 @@ def main():
                     help="AR train/eval batch; the 512^2 geometry (1296 "
                          "tokens) OOMs the train step at 32 — use 8")
     ap.add_argument("--ar-eval-prompts", type=int, default=32)
+    ap.add_argument("--ar-resume", action="store_true",
+                    help="resume the AR stage from its latest checkpoint; "
+                         "with steps-ar <= the checkpointed step this is "
+                         "an eval-only re-run (recovers a lost eval "
+                         "without retraining)")
     ap.add_argument("--seg-init-steps", type=int, default=200,
                     help="codebook phase-schedule base for the seg stage; "
                          "k-means re-inits run every N//2 steps until "
@@ -547,8 +553,9 @@ def main():
     RES, BATCH, TRAIN_CACHE = args.res, args.batch, args.pool
     AR_EVAL_PROMPTS = args.ar_eval_prompts
     AR_KV_HEADS = args.ar_kv_heads
-    global AR_BATCH
+    global AR_BATCH, AR_RESUME
     AR_BATCH = args.ar_batch
+    AR_RESUME = args.ar_resume
     global SEG_INIT_STEPS
     SEG_INIT_STEPS = args.seg_init_steps
     CKPT = args.ckpt or ("/tmp/recon_q" if RES == 256

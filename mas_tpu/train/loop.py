@@ -52,6 +52,13 @@ def _loop(cfg: TrainConfig, state, step_fn: Callable, batches: Iterable,
     # fold the resume step into the key so a resumed run does NOT replay
     # the original run's random stream (reservoir sampling, CFG dropout)
     start = int(state.step)
+    if start >= cfg.total_steps:
+        # fully-trained resume (e.g. eval-only re-run after a lost eval):
+        # return before pulling a batch — the first next() on a tokenizing
+        # generator would otherwise re-tokenize the whole train pool
+        print(f"resume at step {start} >= total_steps {cfg.total_steps}; "
+              "skipping train loop")
+        return state
     rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), start)
     t0 = time.time()
     for i, batch in enumerate(batches):

@@ -92,3 +92,27 @@ def test_logger_and_visualizer(tmp_path):
                seg_rec=logits)
     import os
     assert os.path.exists(path)
+
+
+def test_eval_only_resume_skips_batch_pull(tmp_path):
+    """A resumed state at step >= total_steps returns WITHOUT pulling a
+    batch: eval-only recovery of a lost eval must not re-tokenize the
+    train pool (round-5 ar512 recovery path)."""
+    from mas_tpu.parallel.mesh import make_mesh
+    from mas_tpu.train.loop import _loop
+    from mas_tpu.utils.config import TrainConfig
+    from mas_tpu.utils.logging import Logger
+
+    class Done:
+        step = jnp.asarray(5, jnp.int32)
+
+    def poisoned():
+        raise AssertionError("batch generator pulled on eval-only resume")
+        yield  # pragma: no cover
+
+    cfg = TrainConfig(mode="train_transformer", total_steps=5,
+                      checkpoint_dir=str(tmp_path))
+    state = _loop(cfg, Done(), step_fn=None, batches=poisoned(),
+                  mesh=make_mesh(cfg.mesh), logger=Logger(process_index=1),
+                  to_step_args=lambda b: b)
+    assert int(state.step) == 5
