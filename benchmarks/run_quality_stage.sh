@@ -23,6 +23,9 @@
 #                             row is restored (they are TOKENIZERS for the
 #                             ar rows, not quality claims)
 #   seg_usage                 codebook-usage-vs-eval-size curve
+#   floor1408 trace512        512^2 decode floor proof + serving trace
+#   lnprod remat24            train-MFU levers: producer-LN microbench,
+#                             mlp-remat batch>=24 retry
 #   pipeline                  the full ordered sequence (fresh machine)
 #
 # [hard-end-epoch]: optional deadline guard (epoch seconds by which the
@@ -43,7 +46,7 @@ echo "run id $RUN_ID  stage $STAGE  hard end $HARD_END  logs in $LOG"
 commit_results() {  # commit_results <tag> <stage-exit-code>
   local staged=0 f
   for f in results/recon_quality.json results/bench_lines.jsonl \
-           results/*.png results/*.jpg; do
+           results/*.png results/*.jpg results/*.txt; do
     [ -e "$f" ] && git add -f "$f" && staged=1
   done
   [ "$staged" = 1 ] || { echo "commit_results $1: nothing to stage"; return; }
@@ -140,6 +143,23 @@ do_stage() {  # do_stage <name>  (EXTRA applies to single-stage invocations)
       restore_key img_512 ;;
     seg_usage)
       run_stage seg_usage 600 3000 python -u benchmarks/seg_usage.py; rc=$? ;;
+    floor1408)
+      # 512^2 decode floor proof (VERDICT r4 #3: trace, not analogy)
+      run_stage floor1408 600 3000 python -u benchmarks/read_floor.py \
+        --t 1408 --b 64; rc=$?
+      cp "$LOG/floor1408_run.log" results/read_floor_1408.txt ;;
+    trace512)
+      run_stage trace512 600 3000 python -u benchmarks/decode_trace.py \
+        --resolution 512; rc=$?
+      cp "$LOG/trace512_run.log" results/decode_trace_512.txt ;;
+    lnprod)
+      # producer-epilogue LN stats fusion (VERDICT r4 #4, last MFU lever)
+      run_stage lnprod 400 2000 python -u benchmarks/ln_producer.py; rc=$?
+      cp "$LOG/lnprod_run.log" results/ln_producer.txt ;;
+    remat24)
+      run_stage remat24 900 4000 python -u benchmarks/train_profile.py \
+        --remat-only; rc=$?
+      cp "$LOG/remat24_run.log" results/remat24_retry.txt ;;
     *)
       echo "unknown stage: $1"; exit 2 ;;
   esac

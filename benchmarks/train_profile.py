@@ -164,7 +164,18 @@ def main():
     ap.add_argument("--fold-only", action="store_true",
                     help="baseline + LN->matmul fold A/B only (the other "
                          "lever rows are committed in train_levers.txt)")
+    ap.add_argument("--remat-only", action="store_true",
+                    help="mlp-remat at batch 24/32 retry only (VERDICT r4 "
+                         "#4: the toolchain-blocked lever, retried once "
+                         "per round)")
     args = ap.parse_args()
+    if args.remat_only:
+        print("== mlp-remat >= 24 retry ==", flush=True)
+        bench_step(flagship(), 16, label="baseline (remat nothing)")
+        for b in (24, 32):
+            safe(bench_step, flagship(remat_policy="mlp"), b,
+                 label="remat mlp-only")
+        return
     if args.fold_only:
         print("== LN->matmul fold A/B ==", flush=True)
         base = bench_step(flagship(), 16, label="baseline (remat nothing)")
