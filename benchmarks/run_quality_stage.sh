@@ -26,6 +26,8 @@
 #   floor1408 trace512        512^2 decode floor proof + serving trace
 #   lnprod remat24            train-MFU levers: producer-LN microbench,
 #                             mlp-remat batch>=24 retry
+#   scan24                    cfg.scan_layers A/B (compile + step time) +
+#                             the batch>=24 retry on the scanned HLO
 #   pipeline                  the full ordered sequence (fresh machine)
 #
 # [hard-end-epoch]: optional deadline guard (epoch seconds by which the
@@ -160,6 +162,11 @@ do_stage() {  # do_stage <name>  (EXTRA applies to single-stage invocations)
       run_stage remat24 900 4000 python -u benchmarks/train_profile.py \
         --remat-only; rc=$?
       cp "$LOG/remat24_run.log" results/remat24_retry.txt ;;
+    scan24)
+      # cfg.scan_layers A/B + the batch>=24 retry on the 24x-smaller HLO
+      run_stage scan24 1200 5000 python -u benchmarks/train_profile.py \
+        --scan-only; rc=$?
+      cp "$LOG/scan24_run.log" results/scan_layers_ab.txt ;;
     *)
       echo "unknown stage: $1"; exit 2 ;;
   esac

@@ -168,7 +168,27 @@ def main():
                     help="mlp-remat at batch 24/32 retry only (VERDICT r4 "
                          "#4: the toolchain-blocked lever, retried once "
                          "per round)")
+    ap.add_argument("--scan-only", action="store_true",
+                    help="cfg.scan_layers A/B: compile time + step time "
+                         "vs the unrolled stack, then the batch>=24 "
+                         "retry with the 24x-smaller scanned HLO (the "
+                         "axon compile helper OOMs on the unrolled one)")
     args = ap.parse_args()
+    if args.scan_only:
+        print("== scan_layers A/B (flagship 24L/1408tok bf16) ==",
+              flush=True)
+        bench_step(flagship(), 16, label="unrolled (remat nothing)")
+        safe(bench_step, flagship(scan_layers=True), 16,
+             label="scan_layers (remat nothing)")
+        safe(bench_step, flagship(scan_layers=True, remat_policy="mlp"),
+             16, label="scan_layers remat mlp-only")
+        for b in (24, 32):
+            safe(bench_step, flagship(scan_layers=True,
+                                      remat_policy="mlp"), b,
+                 label="scan_layers remat mlp-only")
+            safe(bench_step, flagship(scan_layers=True), b,
+                 label="scan_layers (remat nothing)")
+        return
     if args.remat_only:
         print("== mlp-remat >= 24 retry ==", flush=True)
         bench_step(flagship(), 16, label="baseline (remat nothing)")

@@ -639,6 +639,47 @@ class TransformerLayer(nn.Module):
         return self._post_attn(x, a), tails
 
 
+class _ScanBlock(nn.Module):
+    """One step of the stacked-layer sweep (``cfg.scan_layers``).
+
+    Wraps ``TransformerLayer`` in the (carry, *broadcast) -> (carry, None)
+    shape ``nn.scan`` requires.  ``prefix_length`` is baked as a module
+    attribute (not a call argument) so it stays a Python static — it feeds
+    the flash kernel's nondiff argnums and must never be traced through
+    the scan.
+    """
+
+    cfg: TransformerConfig
+    prefix_length: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = TransformerLayer(self.cfg, name="layer")(
+            x, mask, False, self.prefix_length)
+        return x, None
+
+
+def stack_layer_params(params, num_layers: int):
+    """Unrolled ``{'layer_0': .., 'layer_23': ..}`` param tree (the
+    checkpoint/serving form) -> the ``cfg.scan_layers`` stacked form
+    ``{'layers': {'layer': [L, ...] leaves}}``.  Lossless; inverse below.
+    """
+    p = dict(params)
+    subs = [p.pop(f"layer_{i}") for i in range(num_layers)]
+    p["layers"] = {"layer": jax.tree.map(
+        lambda *xs: jnp.stack(xs, axis=0), *subs)}
+    return p
+
+
+def unstack_layer_params(params, num_layers: int):
+    """Inverse of :func:`stack_layer_params` (stacked -> unrolled)."""
+    p = dict(params)
+    stacked = dict(p.pop("layers"))["layer"]
+    for i in range(num_layers):
+        p[f"layer_{i}"] = jax.tree.map(lambda x, i=i: x[i], stacked)
+    return p
+
+
 class MakeAScene(nn.Module):
     """Full model: embeddings + N layers + final LN + to_logits."""
 
@@ -670,27 +711,49 @@ class MakeAScene(nn.Module):
         self.image_col_embeddings = nn.Embed(
             cfg.image_tokens_per_dim, cfg.hidden_dim, embedding_init=_INIT,
             dtype=_dt(cfg), name="image_col_embeddings")
-        layer_cls = TransformerLayer
-        if cfg.remat and cfg.remat_policy == "mlp":
-            # selective remat: recompute only the MLP (its 4x-hidden gelu
-            # activation is the single biggest saved tensor — 184 MB/layer
-            # at the flagship 1408-token batch-16 geometry) and keep every
-            # attention residual (benchmarks/train_profile.py measures the
-            # policies; numbers in BASELINE.md)
-            pass        # handled inside TransformerLayer.setup
-        elif cfg.remat:
-            # recompute each layer in the backward pass (reference has no
-            # analog; TPU memory lever for the 1408-token geometry)
-            # flax counts self as argnum 0: (3, 4) = return_kv,
-            # prefix_length (both static; prefix_length feeds the flash
-            # kernel's nondiff_argnums and must NOT be traced)
-            policy = (jax.checkpoint_policies.dots_saveable
-                      if cfg.remat_policy == "dots" else None)
-            layer_cls = nn.remat(TransformerLayer,
-                                 static_argnums=(3, 4),
-                                 policy=policy)
-        self.layers = [layer_cls(cfg, name=f"layer_{i}")
-                       for i in range(cfg.num_layers)]
+        if cfg.scan_layers:
+            # one lax.scan over a stacked layer: the HLO carries ONE layer
+            # body instead of num_layers clones (compile-time/-memory
+            # lever — the param tree converts to/from the unrolled
+            # checkpoint form via {stack,unstack}_layer_params)
+            block = _ScanBlock
+            if cfg.remat and cfg.remat_policy != "mlp":
+                policy = (jax.checkpoint_policies.dots_saveable
+                          if cfg.remat_policy == "dots" else None)
+                # prevent_cse is safe (and faster) inside scan
+                block = nn.remat(_ScanBlock, policy=policy,
+                                 prevent_cse=False)
+            self.layers = nn.scan(
+                block,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast,),        # mask
+                length=cfg.num_layers,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )(cfg, prefix_length=cfg.effective_prefix, name="layers")
+        else:
+            layer_cls = TransformerLayer
+            if cfg.remat and cfg.remat_policy == "mlp":
+                # selective remat: recompute only the MLP (its 4x-hidden
+                # gelu activation is the single biggest saved tensor —
+                # 184 MB/layer at the flagship 1408-token batch-16
+                # geometry) and keep every attention residual
+                # (benchmarks/train_profile.py measures the policies;
+                # numbers in BASELINE.md)
+                pass        # handled inside TransformerLayer.setup
+            elif cfg.remat:
+                # recompute each layer in the backward pass (reference has
+                # no analog; TPU memory lever for the 1408-token geometry)
+                # flax counts self as argnum 0: (3, 4) = return_kv,
+                # prefix_length (both static; prefix_length feeds the
+                # flash kernel's nondiff_argnums and must NOT be traced)
+                policy = (jax.checkpoint_policies.dots_saveable
+                          if cfg.remat_policy == "dots" else None)
+                layer_cls = nn.remat(TransformerLayer,
+                                     static_argnums=(3, 4),
+                                     policy=policy)
+            self.layers = [layer_cls(cfg, name=f"layer_{i}")
+                           for i in range(cfg.num_layers)]
         self.final_ln = LayerNorm(name="final_ln", impl=cfg.layernorm_impl)
         self.logits_ln = LayerNorm(name="logits_ln", impl=cfg.layernorm_impl)
         self.logits_dense = nn.Dense(cfg.image_vocab_size, kernel_init=_INIT,
@@ -737,6 +800,14 @@ class MakeAScene(nn.Module):
         return self.final_ln(x)
 
     def backbone(self, x, mask, prefix_length: Optional[int] = None):
+        if self.cfg.scan_layers:
+            if prefix_length != self.cfg.effective_prefix:
+                raise ValueError(
+                    "scan_layers bakes prefix_length=cfg.effective_prefix "
+                    f"({self.cfg.effective_prefix}) into the scanned stack; "
+                    f"got {prefix_length}")
+            x, _ = self.layers(x, mask)
+            return self._final_ln(x)
         for layer in self.layers:
             # positional args so nn.remat's static_argnums line up
             x = layer(x, mask, False, prefix_length)
@@ -782,6 +853,14 @@ class MakeAScene(nn.Module):
         is trivially all-true.
         """
         cfg = self.cfg
+        if cfg.scan_layers:
+            # the decode path's in-place cache aliasing is per-layer-buffer
+            # load-bearing (BASELINE round 3); serve with the unrolled
+            # graph: unstack_layer_params + cfg.replace(scan_layers=False)
+            raise ValueError(
+                "prefill/decode use the unrolled layer graph; scan_layers "
+                "is a training-path option (convert params with "
+                "unstack_layer_params)")
         emb = self.embed_prefix(text_tokens, seg_tokens)
         eff = cfg.effective_prefix
         if resolve_attention_impl(cfg, cfg.prefix_length) == "jnp":

@@ -28,17 +28,23 @@ _ROW_PARALLEL = ("out_proj", "lin2")
 
 
 def _spec_for_path(path, leaf) -> P:
+    # cfg.scan_layers stacks every layer param with a leading [L] axis
+    # ({'layers': {'layer': ...}}); the stack axis is never sharded — the
+    # scan sweeps it — so the unrolled spec shifts right by one.
     names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    stacked = len(names) >= 2 and names[0] == "layers" and names[1] == "layer"
     for i, name in enumerate(names):
         if name in _COL_PARALLEL:
             leaf_name = names[-1]
-            if leaf_name == "kernel" and leaf.ndim == 2:
-                return P(None, AXIS_MODEL)
-            if leaf_name == "bias" and leaf.ndim == 1:
-                return P(AXIS_MODEL)
+            if leaf_name == "kernel" and leaf.ndim == 2 + stacked:
+                return P(None, None, AXIS_MODEL) if stacked \
+                    else P(None, AXIS_MODEL)
+            if leaf_name == "bias" and leaf.ndim == 1 + stacked:
+                return P(None, AXIS_MODEL) if stacked else P(AXIS_MODEL)
         if name in _ROW_PARALLEL:
-            if names[-1] == "kernel" and leaf.ndim == 2:
-                return P(AXIS_MODEL, None)
+            if names[-1] == "kernel" and leaf.ndim == 2 + stacked:
+                return P(None, AXIS_MODEL, None) if stacked \
+                    else P(AXIS_MODEL, None)
             return P()  # row-parallel bias stays replicated (added post-psum)
     return P()
 

@@ -337,6 +337,20 @@ class TransformerConfig(_Base):
     # the 12.4%-of-step sandwich-LN cost measured by train_profile
     # --levers; small shapes auto-fall back to jnp)
     layernorm_impl: str = "jnp"
+    # stack the transformer layers and sweep them with ONE lax.scan
+    # (flax nn.scan) in the training forward/backward instead of
+    # unrolling num_layers clones into the HLO.  Compile-time /
+    # compile-memory lever: the flagship 24-layer program carries one
+    # layer body (the axon remote-compile helper OOMs on the unrolled
+    # program at mlp-remat batch >= 24 — BASELINE.md).  Param tree
+    # changes to a stacked {'layers': {'layer': [L, ...]}} form;
+    # checkpoints convert losslessly via
+    # models.transformer.{stack,unstack}_layer_params.  Serving
+    # (prefill/decode_step) keeps the unrolled per-layer graph — its
+    # in-place cache aliasing is layout-load-bearing (BASELINE round 3)
+    # — so sample with scan_layers=False after unstacking.  remat
+    # composes (applied per scan step, prevent_cse off inside scan).
+    scan_layers: bool = False
 
     def __post_init__(self):
         if self.layernorm_impl not in ("jnp", "pallas"):
