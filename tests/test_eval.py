@@ -20,6 +20,16 @@ def test_recon_metrics_identity_and_noise():
     assert abs(float(m2["psnr"]) - 20.0) < 0.1     # mse = 0.01
 
 
+def test_recon_metrics_lpips_branch():
+    """recon_metrics includes 'lpips' iff a callable is supplied
+    (the RGB-model eval path, cli._run_eval)."""
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    lpips = lambda a, b: jnp.mean(jnp.abs(a - b), axis=(1, 2, 3))
+    m = recon_metrics(x, x + 0.1, lpips_apply=lpips)
+    assert abs(float(m["lpips"]) - 0.1) < 1e-5
+    assert "lpips" not in recon_metrics(x, x)
+
+
 def test_codebook_stats():
     # uniform usage over 8 codes
     idx = jnp.tile(jnp.arange(8), 10)

@@ -180,6 +180,32 @@ def test_cli_eval_mode(tmp_path, capsys):
     assert "lpips" not in metrics    # 159-channel model: no VGG metric
 
 
+def test_cli_eval_mode_rgb_includes_lpips(tmp_path, capsys):
+    """--mode eval on an RGB model wires up LPIPS (random-init VGG trunk
+    when no torch weights are given — ranks consistently, cli._run_eval)."""
+    from mas_tpu.cli import main
+
+    cfg = {
+        "train": {"mode": "pretrain_image", "batch_size": 2},
+        "model": {"in_channels": 3, "out_channels": 3, "resolution": 32,
+                  "channels": [32, 32], "num_res_blocks": 1,
+                  "attn_resolutions": [],
+                  "z_channels": 32, "embed_dim": 32,
+                  "codebook": {"codebook_size": 16, "codebook_dim": 32,
+                               "init_steps": 1, "reservoir_size": 64}},
+        "data": {"kind": "synthetic", "resolution": 32},
+        "n_eval_batches": 1,
+    }
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    capsys.readouterr()
+    assert main(["--config", str(path), "--mode", "eval"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(out)
+    assert np.isfinite(metrics["lpips"]) and metrics["lpips"] >= 0
+    assert metrics["mse"] > 0    # random init reconstructs poorly
+
+
 def test_loop_raises_on_untiled_batch(tmp_path):
     """A global batch that doesn't tile the data axis must raise (not
     silently replicate) unless allow_replicated_batch is set."""
