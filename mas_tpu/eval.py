@@ -56,7 +56,8 @@ def codebook_stats(indices: jax.Array, codebook_size: int) -> Dict[str, jax.Arra
 
 def fid_from_features(mu1, sigma1, mu2, sigma2) -> float:
     """Fréchet distance between two feature Gaussians (host numpy;
-    the matrix sqrt via eigendecomposition of the symmetrized product)."""
+    the matrix sqrt via ``scipy.linalg.sqrtm`` on the covariance
+    product, real part taken against numerical imaginary leakage)."""
     import scipy.linalg as _sl  # scipy ships with the image
 
     mu1, mu2 = np.asarray(mu1), np.asarray(mu2)
