@@ -36,13 +36,17 @@ def warn_and_continue(exn: BaseException) -> bool:
 
 
 def _open_shard(url: str):
-    """Local path or ``pipe:<cmd>`` -> binary stream."""
+    """Local path or ``pipe:<cmd>`` -> (binary stream, subprocess or None).
+
+    The subprocess is returned so the consumer can reap it after the
+    stream is drained/closed — otherwise every pipe shard leaves a
+    zombie for the life of a long preprocessing run."""
     if url.startswith("pipe:"):
         proc = subprocess.Popen(url[5:], shell=True, stdout=subprocess.PIPE,
                                 bufsize=1 << 20)
         assert proc.stdout is not None
-        return proc.stdout
-    return open(url, "rb")
+        return proc.stdout, proc
+    return open(url, "rb"), None
 
 
 def iter_tar_samples(url: str,
@@ -52,7 +56,7 @@ def iter_tar_samples(url: str,
     '__url__': str}.  Members sharing the same key (basename before the
     first dot) form one sample; tar ordering groups them (WebDataset
     convention)."""
-    stream = _open_shard(url)
+    stream, proc = _open_shard(url)
     try:
         tf = tarfile.open(fileobj=stream, mode="r|*")
         current_key: Optional[str] = None
@@ -86,6 +90,13 @@ def iter_tar_samples(url: str,
             raise
     finally:
         stream.close()
+        if proc is not None:
+            # Normal path: the command already exited at EOF — reap it.
+            # Early generator close: stdout is gone (SIGPIPE), but a
+            # command that ignores it would block wait() — terminate.
+            if proc.poll() is None:
+                proc.terminate()
+            proc.wait()
 
 
 def shard_split(shards: Sequence[str], index: int, count: int,
