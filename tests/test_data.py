@@ -219,6 +219,52 @@ def test_pipe_url_streaming(tmp_path):
     assert len(samples) == 3
 
 
+def _zombie_children():
+    """PIDs of direct children of this process in state Z (unreaped)."""
+    import os
+
+    out = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                fields = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        state, ppid = fields[0], int(fields[1])
+        if ppid == os.getpid() and state == "Z":
+            out.append(int(pid))
+    return out
+
+
+def test_pipe_subprocess_reaped_on_eof(tmp_path):
+    """Draining a ``pipe:`` shard must reap the child — one zombie per
+    shard otherwise accumulates over a long preprocessing run."""
+    tar = str(tmp_path / "shard0.tar")
+    _write_sample_tar(tar)
+    before = set(_zombie_children())
+    list(iter_tar_samples(f"pipe:cat {tar}"))
+    assert set(_zombie_children()) <= before
+
+
+def test_pipe_subprocess_reaped_on_early_close(tmp_path):
+    """Closing the generator early (downstream break) terminates and reaps
+    a still-running pipe command instead of blocking or leaking it."""
+    import time
+
+    tar = str(tmp_path / "shard0.tar")
+    _write_sample_tar(tar)
+    before = set(_zombie_children())
+    # command keeps running after the tar bytes are written
+    it = iter_tar_samples(f"pipe:cat {tar}; sleep 60")
+    next(it)
+    t0 = time.monotonic()
+    it.close()  # must terminate+wait the child, not block on sleep
+    assert time.monotonic() - t0 < 30
+    assert set(_zombie_children()) <= before
+
+
 def test_synthetic_batches():
     seg = next(iter(SyntheticSegBatches(2, resolution=32)))
     assert seg["mask"].shape == (2, 32, 32, NUM_SEG_CHANNELS)
