@@ -4,7 +4,8 @@ Replaces the reference Hydra ``launch()`` (``/root/reference/train.py:
 207-225``; modes ``pretrain_segmentation`` / ``pretrain_image`` /
 ``train_transformer`` / ``show`` / ``preprocess_dataset``) with argparse +
 the strict dataclass config schema (``mas_tpu.utils.config``), and adds the
-``sample`` mode the reference never shipped.
+``sample``, ``eval`` and ``export`` (checkpoint -> reference torch ``.pt``)
+modes the reference never shipped.
 
 Usage:
     python -m mas_tpu.cli --config configs/seg_256.json [--mode ...]
@@ -249,6 +250,8 @@ def main(argv=None) -> int:
         from .data.preprocess import run_preprocessor
 
         run_preprocessor(raw.get("preprocess", {}))
+    elif mode == "export":
+        print(_run_export(raw, train_cfg))
     else:
         raise ConfigError(f"unknown mode {mode!r}")
     return 0
@@ -311,6 +314,58 @@ def _run_eval(raw: Dict[str, Any], train_cfg: TrainConfig) -> Dict[str, float]:
     return evaluate_vq_model(model, variables, batches,
                              n_batches=raw.get("n_eval_batches", 8),
                              lpips_apply=lpips_apply)
+
+
+def _run_export(raw: Dict[str, Any], train_cfg: TrainConfig) -> str:
+    """Trained checkpoint -> reference-layout torch ``.pt`` (the return
+    leg of MIGRATION.md §3; inverse of the ``torch_import`` converters).
+
+    Config: ``output`` (path, default ``exported.pt``) plus EITHER a
+    ``transformer`` section (+ optional ``transformer_checkpoint``) OR a
+    ``model`` section (+ optional ``checkpoint``) — random-init export
+    without a checkpoint is allowed for layout smoke tests.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .utils.torch_export import (export_transformer_state,
+                                     export_vqbase_state,
+                                     save_torch_checkpoint)
+
+    out = raw.get("output", "exported.pt")
+    if "transformer" in raw:
+        from .models.transformer import MakeAScene, unstack_layer_params
+        from .train.state import TransformerTrainState, make_adam
+        from .utils.checkpoint import restore_checkpoint
+
+        tcfg = TransformerConfig.from_dict(raw["transformer"])
+        transformer = MakeAScene(tcfg)
+        init_vars = transformer.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, tcfg.text_length), jnp.int32),
+            jnp.zeros((1, tcfg.seg_length), jnp.int32),
+            jnp.zeros((1, tcfg.image_length), jnp.int32))
+        params = init_vars["params"]
+        if raw.get("transformer_checkpoint"):
+            tx = make_adam(train_cfg.optimizer)
+            template = TransformerTrainState(
+                step=jnp.zeros((), jnp.int32), params=params,
+                opt_state=tx.init(params))
+            params = restore_checkpoint(raw["transformer_checkpoint"],
+                                        template).params
+        if tcfg.scan_layers:
+            # checkpoints under scan_layers hold the stacked tree
+            params = unstack_layer_params(dict(params), tcfg.num_layers)
+        state = export_transformer_state({"params": params}, tcfg)
+    elif "model" in raw:
+        model_cfg = VQModelConfig.from_dict(raw["model"])
+        _, vvars = _load_vq(raw["model"], raw.get("checkpoint"))
+        state = export_vqbase_state(vvars, model_cfg)
+    else:
+        raise ConfigError(
+            "export mode needs a 'transformer' or 'model' section")
+    save_torch_checkpoint(out, state)
+    return out
 
 
 def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:

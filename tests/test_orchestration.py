@@ -368,6 +368,75 @@ def test_cli_sample_with_captions(tmp_path):
     assert os.path.exists(tmp_path / "out.jpg")
 
 
+def test_cli_export_mode_vq(tmp_path, capsys):
+    """--mode export: train a tiny VQ-SEG, export the checkpoint to a
+    reference-layout torch .pt, convert it back — the CLI return leg of
+    MIGRATION.md §3."""
+    from mas_tpu.cli import main
+    from mas_tpu.utils.config import VQModelConfig
+    from mas_tpu.utils.torch_import import (convert_vqbase_state,
+                                            load_torch_checkpoint)
+
+    model = {"in_channels": 159, "out_channels": 159, "resolution": 32,
+             "channels": [32, 32], "num_res_blocks": 1,
+             "attn_resolutions": [],
+             "z_channels": 32, "embed_dim": 32,
+             "codebook": {"codebook_size": 16, "codebook_dim": 32,
+                          "init_steps": 1, "reservoir_size": 64}}
+    cfg = {
+        "train": {"mode": "pretrain_segmentation", "total_steps": 1,
+                  "batch_size": 2, "log_period": 1, "save_period": 1,
+                  "allow_replicated_batch": True,
+                  "checkpoint_dir": str(tmp_path / "ckpt"),
+                  "optimizer": {"lr": 1e-3}},
+        "model": model,
+        "loss": {"image_channels": 159},
+        "data": {"kind": "synthetic", "resolution": 32},
+    }
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    assert main(["--config", str(path)]) == 0
+
+    out_pt = str(tmp_path / "vq_seg.pt")
+    export_cfg = {"train": {"mode": "pretrain_segmentation"},
+                  "model": model,
+                  "checkpoint": str(tmp_path / "ckpt"),
+                  "output": out_pt}
+    path.write_text(json.dumps(export_cfg))
+    capsys.readouterr()
+    assert main(["--config", str(path), "--mode", "export"]) == 0
+    assert capsys.readouterr().out.strip().endswith("vq_seg.pt")
+    state = load_torch_checkpoint(out_pt)
+    assert "quantize.embedding.weight" in state
+    assert "encoder.model.0.weight" in state
+    back = convert_vqbase_state(state, VQModelConfig.from_dict(model))
+    assert back["params"]["codebook_embedding"].shape == (16, 32)
+
+
+def test_cli_export_mode_transformer(tmp_path, capsys):
+    """--mode export on a transformer section (random-init layout smoke):
+    emits the reference MakeAScene state_dict naming."""
+    from mas_tpu.cli import main
+    from mas_tpu.utils.torch_import import load_torch_checkpoint
+
+    out_pt = str(tmp_path / "ar.pt")
+    cfg = {
+        "train": {"mode": "train_transformer"},
+        "transformer": {
+            "num_layers": 1, "hidden_dim": 64, "num_attn_heads": 4,
+            "image_vocab_size": 16, "seg_vocab_size": 16,
+            "text_vocab_size": 64 + 8, "image_tokens_per_dim": 4,
+            "seg_tokens_per_dim": 2, "text_length": 8},
+        "output": out_pt,
+    }
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    assert main(["--config", str(path), "--mode", "export"]) == 0
+    state = load_torch_checkpoint(out_pt)
+    assert "transformer.layers.0.attn.qkv.weight" in state
+    assert state["to_logits.1.weight"].shape == (16, 64)
+
+
 def test_run_pretrain_segmentation_packed_labels(tmp_path):
     """Packed int16 label batches expand to the one-hot in-graph and train
     to the same machinery (the 80x-less-transfer input path)."""
