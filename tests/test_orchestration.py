@@ -368,6 +368,18 @@ def test_cli_sample_with_captions(tmp_path):
     assert os.path.exists(tmp_path / "out.jpg")
 
 
+def test_python_dash_m_package_entry():
+    """``python -m mas_tpu --help`` works (alias for ``-m mas_tpu.cli``);
+    argparse --help exits before any backend init, so this stays CPU-free."""
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-m", "mas_tpu", "--help"],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0
+    assert "--mode" in r.stdout
+
+
 def test_cli_export_mode_vq(tmp_path, capsys):
     """--mode export: train a tiny VQ-SEG, export the checkpoint to a
     reference-layout torch .pt, convert it back — the CLI return leg of
