@@ -218,6 +218,39 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     assert enable_compilation_cache() is None
 
 
+def test_lpips_feature_fn_for_fid():
+    """Pooled VGG taps as the FID feature function: shape = sum of tap
+    channels, and FID(features, same features) ~ 0."""
+    from mas_tpu.eval import FIDAccumulator, lpips_feature_fn
+    from mas_tpu.losses.lpips import LPIPS
+
+    lp = LPIPS()
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = lp.init(jax.random.PRNGKey(0), x, x)
+    fn = lpips_feature_fn(lp, variables)
+    imgs = np.random.default_rng(3).random((8, 32, 32, 3)).astype(np.float32)
+    feats = np.asarray(fn(imgs))
+    assert feats.shape == (8, 64 + 128 + 256 + 512 + 512)
+    acc_a, acc_b = FIDAccumulator(fn), FIDAccumulator(fn)
+    acc_a.update(imgs)
+    acc_b.update(imgs)
+    assert abs(acc_a.fid(acc_b)) < 1e-4
+
+
+def test_replicated_shardings_tree():
+    from jax.sharding import PartitionSpec as P
+
+    from mas_tpu.parallel.mesh import make_mesh
+    from mas_tpu.parallel.sharding import replicated_shardings
+
+    mesh = make_mesh()
+    tree = {"a": jnp.zeros((2, 2)), "b": {"c": jnp.zeros((3,))}}
+    shardings = replicated_shardings(mesh, tree)
+    assert shardings["b"]["c"].spec == P()
+    x = jax.device_put(tree["a"], shardings["a"])
+    np.testing.assert_array_equal(np.asarray(x), np.zeros((2, 2)))
+
+
 # --- preprocessor config entry --------------------------------------------
 
 def test_run_preprocessor_local_config(tmp_path):
