@@ -362,6 +362,34 @@ def test_real_pt_roundtrip(tmp_path):
     np.testing.assert_array_equal(j_logits.argmax(-1), t_logits.argmax(-1))
 
 
+def test_export_loads_into_torch_replica():
+    """Flax init -> export_transformer_state -> the torch replica loads it
+    with the registered ``transformer.mask`` buffer as the ONLY missing key
+    and reproduces the flax logits argmax (the export return leg for the
+    AR stage; MIGRATION.md §3)."""
+    from mas_tpu.utils.torch_export import export_transformer_state
+
+    cfg = _cfg()
+    jmodel = MakeAScene(cfg)
+    text, seg, img = _tokens(cfg)
+    variables = jmodel.init(jax.random.PRNGKey(5), jnp.asarray(text),
+                            jnp.asarray(seg), jnp.asarray(img))
+    state = export_transformer_state(variables, cfg)
+    tmodel = TMakeAScene(cfg).eval()
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in state.items()},
+        strict=False)
+    assert missing == ["transformer.mask"], missing
+    assert unexpected == [], unexpected
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(text).long(),
+                          torch.from_numpy(seg).long(),
+                          torch.from_numpy(img).long()).numpy()
+    j_logits = np.asarray(jmodel.apply(variables, jnp.asarray(text),
+                                       jnp.asarray(seg), jnp.asarray(img)))
+    np.testing.assert_array_equal(j_logits.argmax(-1), t_logits.argmax(-1))
+
+
 def test_rudalle_rejects_int8_cache():
     with pytest.raises(ConfigError):
         _cfg(rudalle_relax=True, kv_cache_dtype="int8")
