@@ -382,7 +382,12 @@ def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:
     from .train.state import TransformerTrainState, make_adam
 
     tcfg = TransformerConfig.from_dict(raw["transformer"])
-    transformer = MakeAScene(tcfg)
+    # scan_layers is a training-path option; prefill/decode run the
+    # unrolled graph, so sample from the unrolled config and convert a
+    # scan-trained (stacked) checkpoint tree below
+    sample_cfg = (tcfg.replace(scan_layers=False) if tcfg.scan_layers
+                  else tcfg)
+    transformer = MakeAScene(sample_cfg)
     rng = jax.random.PRNGKey(train_cfg.seed)
     captions = raw.get("captions") or []
     b = len(captions) or train_cfg.batch_size
@@ -408,14 +413,26 @@ def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:
     tvars = {"params": init_vars["params"]}
     if raw.get("transformer_checkpoint"):
         # checkpoints store the full TrainState (params + optimizer state
-        # + step) — restore into a matching template, then take the params
+        # + step) — restore into a matching template, then take the params.
+        # A scan_layers training run saved the STACKED tree: restore into
+        # a stacked template, then unstack for the unrolled serving graph.
+        from .models.transformer import (stack_layer_params,
+                                         unstack_layer_params)
+
+        tpl_params = init_vars["params"]
+        if tcfg.scan_layers:
+            tpl_params = stack_layer_params(dict(tpl_params),
+                                            tcfg.num_layers)
         tx = make_adam(train_cfg.optimizer)
         template = TransformerTrainState(
-            step=jnp.zeros((), jnp.int32), params=init_vars["params"],
-            opt_state=tx.init(init_vars["params"]))
+            step=jnp.zeros((), jnp.int32), params=tpl_params,
+            opt_state=tx.init(tpl_params))
         restored = restore_checkpoint(raw["transformer_checkpoint"],
                                       template)
-        tvars = {"params": restored.params}
+        params = restored.params
+        if tcfg.scan_layers:
+            params = unstack_layer_params(dict(params), tcfg.num_layers)
+        tvars = {"params": params}
     vq, vvars = _load_vq(raw["model"], raw.get("vq_checkpoint"))
     imgs = sample_images(transformer, tvars, vq, vvars, text, seg, rng,
                          guidance_scale=raw.get("guidance_scale", 3.0),

@@ -449,6 +449,48 @@ def test_cli_export_mode_transformer(tmp_path, capsys):
     assert state["to_logits.1.weight"].shape == (16, 64)
 
 
+def test_cli_sample_from_scan_layers_checkpoint(tmp_path):
+    """A scan_layers training run saves the STACKED param tree; --mode
+    sample must restore it into a stacked template and unstack for the
+    unrolled serving graph (prefill rejects scan configs by design)."""
+    from mas_tpu.cli import main
+
+    transformer = {
+        "num_layers": 2, "hidden_dim": 64, "num_attn_heads": 4,
+        "image_vocab_size": 16, "seg_vocab_size": 16,
+        "text_vocab_size": 64 + 8, "image_tokens_per_dim": 4,
+        "seg_tokens_per_dim": 2, "text_length": 8, "scan_layers": True}
+    cfg = {
+        "train": {"mode": "train_transformer", "total_steps": 2,
+                  "batch_size": 2, "log_period": 1, "save_period": 2,
+                  "allow_replicated_batch": True,
+                  "checkpoint_dir": str(tmp_path / "ckpt"),
+                  "optimizer": {"lr": 1e-3}},
+        "transformer": transformer,
+        "data": {"kind": "synthetic"},
+    }
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    assert main(["--config", str(path)]) == 0
+    assert os.path.exists(tmp_path / "ckpt" / "latest")
+
+    sample_cfg = {
+        "train": {"mode": "sample", "batch_size": 2, "seed": 0},
+        "transformer": transformer,
+        "transformer_checkpoint": str(tmp_path / "ckpt"),
+        "model": {"in_channels": 3, "out_channels": 3, "resolution": 8,
+                  "channels": [32, 32], "num_res_blocks": 1,
+                  "attn_resolutions": [], "z_channels": 32, "embed_dim": 32,
+                  "codebook": {"codebook_size": 16, "codebook_dim": 32}},
+        "captions": ["a house", "a tree"],
+        "top_k": 4,
+        "output": str(tmp_path / "scan_sample.jpg"),
+    }
+    path.write_text(json.dumps(sample_cfg))
+    assert main(["--config", str(path)]) == 0
+    assert os.path.exists(tmp_path / "scan_sample.jpg")
+
+
 def test_run_pretrain_segmentation_packed_labels(tmp_path):
     """Packed int16 label batches expand to the one-hot in-graph and train
     to the same machinery (the 80x-less-transfer input path)."""
