@@ -490,6 +490,19 @@ def test_cli_sample_from_scan_layers_checkpoint(tmp_path):
     assert main(["--config", str(path)]) == 0
     assert os.path.exists(tmp_path / "scan_sample.jpg")
 
+    # the same stacked checkpoint exports to the reference layout
+    from mas_tpu.utils.torch_import import load_torch_checkpoint
+
+    out_pt = str(tmp_path / "scan_ar.pt")
+    export_cfg = {"train": {"mode": "train_transformer"},
+                  "transformer": transformer,
+                  "transformer_checkpoint": str(tmp_path / "ckpt"),
+                  "output": out_pt}
+    path.write_text(json.dumps(export_cfg))
+    assert main(["--config", str(path), "--mode", "export"]) == 0
+    state = load_torch_checkpoint(out_pt)
+    assert "transformer.layers.1.mlp.lin2.weight" in state
+
 
 def test_run_pretrain_segmentation_packed_labels(tmp_path):
     """Packed int16 label batches expand to the one-hot in-graph and train
