@@ -110,10 +110,11 @@ def _tiny_tf_cfg(**overrides):
         **overrides)
 
 
-def test_transformer_export_import_roundtrip():
+@pytest.mark.parametrize("flags", [{}, {"cogview_sandwich_layernorm": False}])
+def test_transformer_export_import_roundtrip(flags):
     from mas_tpu.models.transformer import MakeAScene
 
-    cfg = _tiny_tf_cfg()
+    cfg = _tiny_tf_cfg(**flags)
     model = MakeAScene(cfg)
     tok = jnp.zeros((1, 4), jnp.int32)
     variables = model.init(jax.random.PRNGKey(1), tok, tok, tok)
