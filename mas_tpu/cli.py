@@ -118,36 +118,30 @@ def _data_iter(data_cfg: Dict[str, Any], mode: str, batch_size: int,
     raise ConfigError(f"unknown data kind {kind!r}")
 
 
-def _load_vq(vq_cfg_raw: Dict[str, Any], checkpoint_dir,
-             lr: float = 1e-4):
+def _load_vq(vq_cfg_raw: Dict[str, Any], checkpoint_dir):
     """Build a VQModel + its (params, batch_stats) variables, restoring
-    from a training checkpoint when given (handles both the plain VQ-SEG
-    layout and the VQ-IMG layout that carries the discriminator)."""
+    from a training checkpoint when given.
+
+    Restores via ``restore_variables`` (params-only, no state template):
+    inference paths don't know the run's optimizer config, and the
+    optimizer tree's structure depends on it (``accumulate_grad > 1``
+    wraps Adam in MultiSteps), so a template restore here would break on
+    any checkpoint whose training optimizer differed from the template's
+    — e.g. the shipped ``seg_256.json``/``img_512.json`` runs.  This also
+    covers both the plain VQ-SEG state and the VQ-IMG state carrying the
+    discriminator (whose extra fields are simply not read)."""
     import jax
     import jax.numpy as jnp
 
     from .models.vqvae import VQModel
-    from .train.state import create_vq_train_state, make_adam
-    from .utils.checkpoint import restore_checkpoint
-    from .utils.config import OptimizerConfig
+    from .utils.checkpoint import restore_variables
 
     vq_cfg = VQModelConfig.from_dict(vq_cfg_raw)
     vq = VQModel(vq_cfg)
-    tx = make_adam(OptimizerConfig(lr=lr))
     if checkpoint_dir:
-        try:
-            from .losses.discriminator import PatchDiscriminator
-
-            template = create_vq_train_state(
-                vq, vq_cfg, tx, jax.random.PRNGKey(0),
-                disc_model=PatchDiscriminator(), disc_tx=tx)
-            restored = restore_checkpoint(checkpoint_dir, template)
-        except Exception:                               # noqa: BLE001
-            template = create_vq_train_state(vq, vq_cfg, tx,
-                                             jax.random.PRNGKey(0))
-            restored = restore_checkpoint(checkpoint_dir, template)
-        return vq, {"params": restored.params,
-                    "batch_stats": restored.batch_stats}
+        variables = restore_variables(checkpoint_dir)
+        variables.setdefault("batch_stats", {})
+        return vq, variables
     init = vq.init(jax.random.PRNGKey(0),
                    jnp.zeros((1, vq_cfg.resolution, vq_cfg.resolution,
                               vq_cfg.in_channels)))
@@ -335,36 +329,35 @@ def _run_export(raw: Dict[str, Any], train_cfg: TrainConfig) -> str:
     out = raw.get("output", "exported.pt")
     if "transformer" in raw:
         from .models.transformer import MakeAScene, unstack_layer_params
-        from .train.state import TransformerTrainState, make_adam
-        from .utils.checkpoint import restore_checkpoint
+        from .utils.checkpoint import restore_variables
 
         tcfg = TransformerConfig.from_dict(raw["transformer"])
-        transformer = MakeAScene(tcfg)
-        init_vars = transformer.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, tcfg.text_length), jnp.int32),
-            jnp.zeros((1, tcfg.seg_length), jnp.int32),
-            jnp.zeros((1, tcfg.image_length), jnp.int32))
-        params = init_vars["params"]
         if raw.get("transformer_checkpoint"):
-            tx = make_adam(train_cfg.optimizer)
-            template = TransformerTrainState(
-                step=jnp.zeros((), jnp.int32), params=params,
-                opt_state=tx.init(params))
-            params = restore_checkpoint(raw["transformer_checkpoint"],
-                                        template).params
+            # params-only restore: no optimizer template, so checkpoints
+            # from any accumulate_grad setting load
+            params = restore_variables(
+                raw["transformer_checkpoint"])["params"]
+        else:
+            transformer = MakeAScene(tcfg)
+            params = transformer.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, tcfg.text_length), jnp.int32),
+                jnp.zeros((1, tcfg.seg_length), jnp.int32),
+                jnp.zeros((1, tcfg.image_length), jnp.int32))["params"]
         if tcfg.scan_layers:
             # checkpoints under scan_layers hold the stacked tree
             params = unstack_layer_params(dict(params), tcfg.num_layers)
         state = export_transformer_state({"params": params}, tcfg)
     elif "model" in raw:
-        model_cfg = VQModelConfig.from_dict(raw["model"])
-        _, vvars = _load_vq(raw["model"], raw.get("checkpoint"))
-        state = export_vqbase_state(vvars, model_cfg)
+        vq, vvars = _load_vq(raw["model"], raw.get("checkpoint"))
+        state = export_vqbase_state(vvars, vq.cfg)
     else:
         raise ConfigError(
             "export mode needs a 'transformer' or 'model' section")
-    save_torch_checkpoint(out, state)
+    # rank-0 only: torch.save has no multi-host coordination (orbax does),
+    # so concurrent writers on a shared filesystem would corrupt the .pt
+    if jax.process_index() == 0:
+        save_torch_checkpoint(out, state)
     return out
 
 
@@ -376,10 +369,8 @@ def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:
 
     from .models.sampler import sample_images
     from .models.transformer import MakeAScene
-    from .utils.checkpoint import restore_checkpoint
     from .utils.logging import make_grid, save_image
     from .data.tokenizer import HashWordTokenizer
-    from .train.state import TransformerTrainState, make_adam
 
     tcfg = TransformerConfig.from_dict(raw["transformer"])
     # scan_layers is a training-path option; prefill/decode run the
@@ -412,24 +403,14 @@ def _run_sample(raw: Dict[str, Any], train_cfg: TrainConfig) -> None:
         rng, text, seg, jnp.zeros((b, tcfg.image_length), jnp.int32))
     tvars = {"params": init_vars["params"]}
     if raw.get("transformer_checkpoint"):
-        # checkpoints store the full TrainState (params + optimizer state
-        # + step) — restore into a matching template, then take the params.
-        # A scan_layers training run saved the STACKED tree: restore into
-        # a stacked template, then unstack for the unrolled serving graph.
-        from .models.transformer import (stack_layer_params,
-                                         unstack_layer_params)
+        # params-only restore (no optimizer template: inference doesn't
+        # know the run's accumulate_grad, which changes the opt_state
+        # structure).  A scan_layers run saved the STACKED tree — unstack
+        # it for the unrolled serving graph.
+        from .models.transformer import unstack_layer_params
+        from .utils.checkpoint import restore_variables
 
-        tpl_params = init_vars["params"]
-        if tcfg.scan_layers:
-            tpl_params = stack_layer_params(dict(tpl_params),
-                                            tcfg.num_layers)
-        tx = make_adam(train_cfg.optimizer)
-        template = TransformerTrainState(
-            step=jnp.zeros((), jnp.int32), params=tpl_params,
-            opt_state=tx.init(tpl_params))
-        restored = restore_checkpoint(raw["transformer_checkpoint"],
-                                      template)
-        params = restored.params
+        params = restore_variables(raw["transformer_checkpoint"])["params"]
         if tcfg.scan_layers:
             params = unstack_layer_params(dict(params), tcfg.num_layers)
         tvars = {"params": params}

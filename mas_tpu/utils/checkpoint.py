@@ -45,6 +45,30 @@ def latest_step(directory: str) -> Optional[int]:
         return int(f.read().strip())
 
 
+def restore_variables(directory: str, step: Optional[int] = None) -> Any:
+    """Restore ONLY the model variables (``{'params': ...}`` plus
+    ``'batch_stats'`` when the state carries one) from a train-state
+    checkpoint, without a state template.
+
+    Inference/eval/export paths don't know the run's optimizer config,
+    and the optimizer tree's *structure* depends on it
+    (``accumulate_grad > 1`` wraps Adam in ``optax.MultiSteps``), so a
+    template-based restore there breaks on any checkpoint whose training
+    optimizer differs from the template's.  A params-only restore is
+    immune; resume paths keep using :func:`restore_checkpoint` (they own
+    the real optimizer and restore its state too)."""
+    directory = os.path.abspath(directory)
+    if step is None:
+        step = latest_step(directory)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {directory}")
+    raw = _checkpointer().restore(os.path.join(directory, f"step_{step}"))
+    out = {"params": raw["params"]}
+    if raw.get("batch_stats") is not None:
+        out["batch_stats"] = raw["batch_stats"]
+    return out
+
+
 def restore_checkpoint(directory: str, target: Any,
                        step: Optional[int] = None) -> Any:
     """Restore into the structure of ``target`` (a state template — e.g. a

@@ -425,6 +425,53 @@ def test_cli_export_mode_vq(tmp_path, capsys):
     assert back["params"]["codebook_embedding"].shape == (16, 32)
 
 
+def test_cli_eval_and_export_from_accumulate_grad_checkpoint(tmp_path,
+                                                             capsys):
+    """Checkpoints trained with accumulate_grad > 1 carry an
+    optax.MultiSteps opt_state; eval/sample/export restore params-only
+    (restore_variables) so they must load regardless of the training
+    optimizer's structure (the shipped seg_256/img_512 configs both use
+    accumulation — a template-based restore broke on them)."""
+    from mas_tpu.cli import main
+
+    model = {"in_channels": 159, "out_channels": 159, "resolution": 32,
+             "channels": [32, 32], "num_res_blocks": 1,
+             "attn_resolutions": [],
+             "z_channels": 32, "embed_dim": 32,
+             "codebook": {"codebook_size": 16, "codebook_dim": 32,
+                          "init_steps": 1, "reservoir_size": 64}}
+    cfg = {
+        "train": {"mode": "pretrain_segmentation", "total_steps": 2,
+                  "batch_size": 2, "log_period": 1, "save_period": 2,
+                  "allow_replicated_batch": True,
+                  "checkpoint_dir": str(tmp_path / "ckpt"),
+                  "optimizer": {"lr": 1e-3, "accumulate_grad": 2}},
+        "model": model,
+        "loss": {"image_channels": 159},
+        "data": {"kind": "synthetic", "resolution": 32},
+        "n_eval_batches": 2,
+    }
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg))
+    assert main(["--config", str(path)]) == 0
+
+    cfg["train"]["resume"] = True
+    path.write_text(json.dumps(cfg))
+    capsys.readouterr()
+    assert main(["--config", str(path), "--mode", "eval"]) == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["psnr"] > 0
+
+    out_pt = str(tmp_path / "vq.pt")
+    export_cfg = {"train": {"mode": "pretrain_segmentation"},
+                  "model": model,
+                  "checkpoint": str(tmp_path / "ckpt"),
+                  "output": out_pt}
+    path.write_text(json.dumps(export_cfg))
+    assert main(["--config", str(path), "--mode", "export"]) == 0
+    assert os.path.exists(out_pt)
+
+
 def test_cli_export_mode_transformer(tmp_path, capsys):
     """--mode export on a transformer section (random-init layout smoke):
     emits the reference MakeAScene state_dict naming."""
